@@ -1,0 +1,330 @@
+"""Residual / attention / resample blocks (NTHWC, one unified codebase).
+
+Covers reference model_3dcausal.py, model_3dcausal_v1_1.py and
+model_3dnoncausal.py blocks. Where the reference folds tensors through
+``(b t) c h w`` / ``(b h w) c t`` rearranges to reuse 2D/1D torch ops
+(model_3dcausal.py:14-23), we stay in the 5D channels-last layout and let
+the conv kernel shape (1,k,k) / (k,1,1) express the same computation — XLA
+fuses the whole norm->silu->conv chain without any transposes.
+
+Every block accepts streaming kwargs and threads them to causal convs; the
+non-causal variants simply ignore them.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .conv import CausalConv1d, CausalConv3d, Conv3d, SpatialConv
+from .interp import (
+    spatial_avg_pool2x,
+    spatial_nearest_up2x,
+    temporal_avg_pool3_stride2,
+    temporal_linear_up2x,
+    temporal_nearest_up2x,
+)
+from .norms import ChannelLayerNorm, GroupNorm, make_norm, silu
+
+
+def _named_norm(norm_type: str, fold_time: bool, name: str):
+    if norm_type == "groupnorm":
+        return GroupNorm(fold_time=fold_time, name=name)
+    return ChannelLayerNorm(name=name)
+
+
+class ResnetBlockSpatial(nn.Module):
+    """Per-frame 2D residual block (reference ResnetBlock,
+    model_3dcausal.py:276-337)."""
+
+    out_channels: int
+    norm_type: str = "groupnorm"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True, **_):
+        in_ch = x.shape[-1]
+        h = _named_norm(self.norm_type, True, "norm1")(x)
+        h = silu(h)
+        h = SpatialConv(self.out_channels, 3, name="conv1")(h)
+        h = _named_norm(self.norm_type, True, "norm2")(h)
+        h = silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = SpatialConv(self.out_channels, 3, name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = SpatialConv(self.out_channels, 1, name="nin_shortcut")(x)
+        return x + h
+
+
+class ResnetBlockTemporal(nn.Module):
+    """Temporal residual block (reference ResnetCausalBlock1D,
+    model_3dcausal.py:427-499; non-causal ResnetBlock1D,
+    model_3dnoncausal.py:182-248).
+
+    ``conv2`` is zero-initialized so the temporal branch starts as the
+    identity (reference zero_init, model_3dcausal.py:460-462).
+    """
+
+    out_channels: int
+    causal: bool = True
+    norm_type: str = "groupnorm"
+    dropout: float = 0.0
+    first_pad_mode: str = "zero"
+    cache_offset: int = 0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True, streaming: bool = False,
+                 first_chunk: bool = True, use_cache_offset: bool = False):
+        in_ch = x.shape[-1]
+        stream = dict(streaming=streaming, first_chunk=first_chunk,
+                      use_cache_offset=use_cache_offset)
+
+        def tconv(features, k, zero_init, name):
+            if self.causal:
+                m = CausalConv1d(
+                    features, k, first_pad_mode=self.first_pad_mode,
+                    cache_offset=self.cache_offset, name=name)
+                return lambda v: m(v, **stream)
+            # torch Conv1d(k=3, padding=1) == symmetric time pad
+            m = Conv3d(features, (k, 1, 1), padding=((k - 1) // 2, 0, 0), name=name)
+            return lambda v: m(v)
+
+        h = _named_norm(self.norm_type, True, "norm1")(x)
+        h = silu(h)
+        h = tconv(self.out_channels, 3, False, "conv1")(h)
+        h = _named_norm(self.norm_type, True, "norm2")(h)
+        h = silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = tconv(self.out_channels, 3, True, "conv2")(h)
+        if in_ch != self.out_channels:
+            x = tconv(self.out_channels, 1, False, "nin_shortcut")(x)
+        return x + h
+
+
+class ResnetBlock3D(nn.Module):
+    """Full 3D residual block, used only in the mid stack
+    (reference ResnetCausalBlock model_3dcausal.py:340-424;
+    ResnetNoncausalBlock model_3dnoncausal.py:251-311).
+
+    Causal variant computes norm statistics per-frame (the reference folds T
+    into batch before norm); the non-causal variant normalizes over the full
+    (T,H,W) extent — this only matters for groupnorm.
+    """
+
+    out_channels: int
+    causal: bool = True
+    norm_type: str = "groupnorm"
+    dropout: float = 0.0
+    first_pad_mode: str = "zero"
+    cache_offset: int = 0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True, streaming: bool = False,
+                 first_chunk: bool = True, use_cache_offset: bool = False):
+        in_ch = x.shape[-1]
+        stream = dict(streaming=streaming, first_chunk=first_chunk,
+                      use_cache_offset=use_cache_offset)
+
+        def conv(features, k, name):
+            if self.causal:
+                m = CausalConv3d(
+                    features, (k, k, k), first_pad_mode=self.first_pad_mode,
+                    cache_offset=self.cache_offset, name=name)
+                return lambda v: m(v, **stream)
+            m = Conv3d(features, (k, k, k), name=name)
+            return lambda v: m(v)
+
+        fold = self.causal
+        h = _named_norm(self.norm_type, fold, "norm1")(x)
+        h = silu(h)
+        h = conv(self.out_channels, 3, "conv1")(h)
+        h = _named_norm(self.norm_type, fold, "norm2")(h)
+        h = silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv(self.out_channels, 3, "conv2")(h)
+        if in_ch != self.out_channels:
+            x = conv(self.out_channels, 1, "nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Per-frame spatial self-attention, single head over channels
+    (reference AttnBlockWrapper, model_3dcausal.py:121-141 /
+    model_3dnoncausal.py:17-34). q/k/v/proj are 1x1x1 convs; softmax in fp32;
+    scale = C**-0.5 (torch SDPA default)."""
+
+    norm_type: str = "groupnorm"
+    causal: bool = True
+
+    @nn.compact
+    def __call__(self, x, **_):
+        c = x.shape[-1]
+        h_ = _named_norm(self.norm_type, True, "norm")(x)
+        # kernel size 1 => causal and plain conv coincide (time_pad == 0)
+        q = Conv3d(c, (1, 1, 1), name="q")(h_)
+        k = Conv3d(c, (1, 1, 1), name="k")(h_)
+        v = Conv3d(c, (1, 1, 1), name="v")(h_)
+
+        b, t, hh, ww, _ = q.shape
+        s = hh * ww
+        qf = q.reshape(b, t, s, c).astype(jnp.float32)
+        kf = k.reshape(b, t, s, c).astype(jnp.float32)
+        vf = v.reshape(b, t, s, c).astype(jnp.float32)
+        attn = jnp.einsum("btqc,btkc->btqk", qf, kf) * (c ** -0.5)
+        attn = nn.softmax(attn, axis=-1)
+        out = jnp.einsum("btqk,btkc->btqc", attn, vf).astype(x.dtype)
+        out = out.reshape(b, t, hh, ww, c)
+        out = Conv3d(c, (1, 1, 1), name="proj_out")(out)
+        return x + out
+
+
+class SpatialDownsample(nn.Module):
+    """Per-frame 2x downsample (reference Downsample,
+    model_3dcausal.py:215-230): asymmetric (0,1,0,1) zero pad + 3x3 stride-2
+    conv, or 2x2 avg-pool."""
+
+    with_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x, **_):
+        if self.with_conv:
+            c = x.shape[-1]
+            return SpatialConv(c, 3, stride=2, padding=(0, 1, 0, 1), name="conv")(x)
+        return spatial_avg_pool2x(x)
+
+
+class SpatialUpsample(nn.Module):
+    """Per-frame 2x nearest upsample + 3x3 conv (reference Upsample,
+    model_3dcausal.py:200-212)."""
+
+    with_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x, **_):
+        x = spatial_nearest_up2x(x)
+        if self.with_conv:
+            c = x.shape[-1]
+            x = SpatialConv(c, 3, name="conv")(x)
+        return x
+
+
+class TimeDownsampleRes2x(nn.Module):
+    """Blended temporal 2x downsample (reference TimeDownsampleResCausal2x,
+    model_3dcausal.py:233-252, v1_1:272-302; non-causal TimeDownsampleRes2x,
+    model_3dnoncausal.py:70-91).
+
+    alpha = sigmoid(mix_factor);  y = alpha*avgpool3s2(pad(x)) +
+    (1-alpha)*conv3d_s2(x).  Padding differs per variant:
+      causal v1.0: 1 zero frame front; causal v1.1: replicate front / cache;
+      non-causal: 1 zero frame at the END.
+    """
+
+    out_channels: int
+    causal: bool = True
+    first_pad_mode: str = "zero"  # v1.0: zero-front; v1.1 uses replicate
+    mix_factor_init: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, *, streaming: bool = False, first_chunk: bool = True,
+                 use_cache_offset: bool = False, **_):
+        mix = self.param("mix_factor", nn.initializers.constant(self.mix_factor_init),
+                         (1,), jnp.float32)
+        alpha = nn.sigmoid(mix).astype(x.dtype)
+
+        if not self.causal:
+            zeros = jnp.zeros_like(x[:, :1])
+            x_pad = jnp.concatenate([x, zeros], axis=1)
+            x1 = temporal_avg_pool3_stride2(x_pad)
+            x2 = Conv3d(self.out_channels, (3, 3, 3), stride=(2, 1, 1),
+                        padding=(0, 1, 1), name="conv")(x_pad)
+            return alpha * x1 + (1 - alpha) * x2
+
+        if streaming:
+            cache = self.variable(
+                "cache", "pool",
+                lambda: jnp.zeros((x.shape[0], 1) + x.shape[2:], x.dtype))
+            if first_chunk:
+                front = x[:, :1] if self.first_pad_mode == "replicate" else jnp.zeros_like(x[:, :1])
+            else:
+                front = cache.value.astype(x.dtype)
+            x_pad = jnp.concatenate([front, x], axis=1)
+            cache.value = x_pad[:, -1:]
+        else:
+            front = x[:, :1] if self.first_pad_mode == "replicate" else jnp.zeros_like(x[:, :1])
+            x_pad = jnp.concatenate([front, x], axis=1)
+
+        x1 = temporal_avg_pool3_stride2(x_pad)
+        x2 = CausalConv3d(self.out_channels, (3, 3, 3), stride=(2, 1, 1),
+                          first_pad_mode=self.first_pad_mode, name="conv")(
+            x, streaming=streaming, first_chunk=first_chunk,
+            use_cache_offset=use_cache_offset)
+        return alpha * x1 + (1 - alpha) * x2
+
+
+class TimeUpsampleRes2x(nn.Module):
+    """Blended temporal 2x upsample (reference TimeUpsampleResCausal2x,
+    model_3dcausal.py:255-273, v1_1:305-343; non-causal,
+    model_3dnoncausal.py:93-115).
+
+    interpolation_mode 'nearest' (v1.0/non-causal) or 'trilinear' (v1.1,
+    stream-cached: carries ``num_temp_upsample`` trailing frames so chunked
+    and single-shot decoding agree exactly)."""
+
+    out_channels: int
+    causal: bool = True
+    interpolation_mode: str = "nearest"
+    num_temp_upsample: int = 1
+    first_pad_mode: str = "zero"
+    cache_offset: int = 0
+    mix_factor_init: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, *, streaming: bool = False, first_chunk: bool = True,
+                 use_cache_offset: bool = False, **_):
+        mix = self.param("mix_factor", nn.initializers.constant(self.mix_factor_init),
+                         (1,), jnp.float32)
+        alpha = nn.sigmoid(mix).astype(x.dtype)
+        ntu = self.num_temp_upsample
+
+        if self.interpolation_mode == "nearest":
+            x = temporal_nearest_up2x(x)
+        else:
+            if streaming:
+                cache = self.variable(
+                    "cache", "interp",
+                    lambda: jnp.zeros((x.shape[0], ntu) + x.shape[2:], x.dtype))
+                if first_chunk:
+                    cache.value = x[:, -ntu:]
+                    head, tail = x[:, :ntu], x[:, ntu:]
+                    head = temporal_linear_up2x(head)
+                    if tail.shape[1] > 0:
+                        x = jnp.concatenate([head, temporal_linear_up2x(tail)], axis=1)
+                    else:
+                        x = head
+                else:
+                    xc = jnp.concatenate([cache.value.astype(x.dtype), x], axis=1)
+                    cache.value = xc[:, -2 * ntu : -ntu]
+                    x = temporal_linear_up2x(xc)[:, 2 * ntu :]
+            else:
+                # single-shot v1.1: first-chunk path (split at ntu)
+                head, tail = x[:, :ntu], x[:, ntu:]
+                head = temporal_linear_up2x(head)
+                if tail.shape[1] > 0:
+                    x = jnp.concatenate([head, temporal_linear_up2x(tail)], axis=1)
+                else:
+                    x = head
+
+        if self.causal:
+            x_ = CausalConv3d(self.out_channels, (3, 3, 3),
+                              first_pad_mode=self.first_pad_mode,
+                              cache_offset=self.cache_offset, name="conv")(
+                x, streaming=streaming, first_chunk=first_chunk,
+                use_cache_offset=use_cache_offset)
+        else:
+            x_ = Conv3d(self.out_channels, (3, 3, 3), name="conv")(x)
+        return alpha * x + (1 - alpha) * x_

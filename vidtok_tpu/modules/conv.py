@@ -1,0 +1,253 @@
+"""Convolution primitives (channels-last NTHWC, functional causal caches).
+
+All convolutions operate on ``[B, T, H, W, C]`` with weights stored DHWIO
+``[kT, kH, kW, Cin, Cout]`` — the native XLA/TPU layout. Spatial-only convs
+use kT=1, temporal-only convs use kH=kW=1; everything is a single
+``lax.conv_general_dilated`` so XLA fuses pads/elementwise into one op.
+
+Causality model (mirrors reference semantics, redesigned functionally):
+
+* v1.0 (reference model_3dcausal.py:162-197): time axis is left-padded by
+  ``time_pad = kT - sT`` frames of **zeros** inside the conv (pad_mode
+  'constant' default). The reference computes width padding from the height
+  kernel size (model_3dcausal.py:179) — a quirk that is a no-op for the
+  square kernels every config uses; we compute it correctly.
+* v1.1 (reference model_3dcausal_v1_1.py:144-236): stateful streaming. The
+  first chunk left-pads by **replicating frame 0**; later chunks prepend the
+  cached tail of the previous (concatenated) input. The reference mutates
+  ``causal_cache`` attributes via reflection; here the cache is an explicit
+  flax ``'cache'`` variable collection — a pure pytree threaded through
+  ``jax.lax.scan`` for streaming inference.
+* ``cache_offset`` (reference autoencoder_v1_1.py:212-216, 302-320): during
+  overlap-tiled decoding each chunk carries one look-ahead latent; the cache
+  must be stored as if the look-ahead frames were never seen. The offset is
+  a static per-layer constant derived from the decoder stage graph.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+
+def _triple(v) -> Tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    t = tuple(v)
+    assert len(t) == 3
+    return t
+
+
+def conv3d(x, kernel, bias=None, stride=(1, 1, 1), padding="VALID"):
+    """NTHWC x DHWIO -> NTHWC convolution."""
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    y = lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=dn,
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def _kaiming_uniform_init(kt, kh, kw):
+    """torch Conv default init: kaiming_uniform(a=sqrt(5)) == U(-b, b) with
+    b = 1/sqrt(fan_in); fan_in = Cin*kT*kH*kW. Used so random-weight golden
+    tests see comparable scales."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0] * shape[1] * shape[2] * shape[3]
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _bias_uniform_init(fan_in):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv3d(nn.Module):
+    """Plain (non-causal) 3D conv with symmetric zero padding.
+
+    Matches torch ``nn.Conv3d(..., padding=p)`` semantics
+    (reference model_3dnoncausal.py uses padding = (k-1)//2).
+    """
+
+    features: int
+    kernel: Sequence[int] = (3, 3, 3)
+    stride: Sequence[int] = (1, 1, 1)
+    padding: Sequence[int] = None  # default: (k-1)//2 each dim
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = _triple(self.kernel)
+        st = _triple(self.stride)
+        if self.padding is None:
+            pad = ((kt - 1) // 2, (kh - 1) // 2, (kw - 1) // 2)
+        else:
+            pad = _triple(self.padding)
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel", _kaiming_uniform_init(kt, kh, kw), (kt, kh, kw, cin, self.features), jnp.float32
+        )
+        b = (
+            self.param("bias", _bias_uniform_init(cin * kt * kh * kw), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        padding = [(pad[0], pad[0]), (pad[1], pad[1]), (pad[2], pad[2])]
+        return conv3d(x, w, b, st, padding)
+
+
+class CausalConv3d(nn.Module):
+    """Causal 3D conv: time left-pad only, symmetric spatial zero pad.
+
+    ``first_pad_mode``:
+      * 'zero'      — v1.0 semantics (constant pad at stream start)
+      * 'replicate' — v1.1 semantics (repeat frame 0 at stream start)
+
+    Streaming: call with ``streaming=True`` and the flax 'cache' collection
+    mutable. ``first_chunk`` (static) selects stream-start padding vs cache.
+    ``use_cache_offset`` (static) applies ``cache_offset`` — only meaningful
+    in overlap-tiled decode.
+    """
+
+    features: int
+    kernel: Sequence[int] = (3, 3, 3)
+    stride: Sequence[int] = (1, 1, 1)
+    first_pad_mode: str = "zero"
+    cache_offset: int = 0
+
+    @nn.compact
+    def __call__(self, x, *, streaming: bool = False, first_chunk: bool = True,
+                 use_cache_offset: bool = False):
+        kt, kh, kw = _triple(self.kernel)
+        st, sh, sw = _triple(self.stride)
+        time_pad = (kt - 1) + (1 - st)
+        hp, wp = kh - 1, kw - 1
+        cin = x.shape[-1]
+
+        w = self.param(
+            "kernel", _kaiming_uniform_init(kt, kh, kw), (kt, kh, kw, cin, self.features), jnp.float32
+        )
+        b = self.param("bias", _bias_uniform_init(cin * kt * kh * kw), (self.features,), jnp.float32)
+
+        if time_pad > 0:
+            if streaming:
+                cache = self.variable(
+                    "cache",
+                    "tpad",
+                    lambda: jnp.zeros((x.shape[0], time_pad) + x.shape[2:], x.dtype),
+                )
+                if first_chunk:
+                    front = jnp.repeat(x[:, :1], time_pad, axis=1)
+                else:
+                    front = cache.value.astype(x.dtype)
+                full = jnp.concatenate([front, x], axis=1)
+                off = self.cache_offset if use_cache_offset else 0
+                L = full.shape[1]
+                cache.value = lax.slice_in_dim(full, L - off - time_pad, L - off, axis=1)
+                x = full
+            else:
+                if self.first_pad_mode == "replicate":
+                    front = jnp.repeat(x[:, :1], time_pad, axis=1)
+                else:
+                    front = jnp.zeros((x.shape[0], time_pad) + x.shape[2:], x.dtype)
+                x = jnp.concatenate([front, x], axis=1)
+
+        padding = [(0, 0), (hp // 2, hp - hp // 2), (wp // 2, wp - wp // 2)]
+        return conv3d(x, w, b, (st, sh, sw), padding)
+
+
+class CausalConv1d(nn.Module):
+    """Temporal-only causal conv, expressed as a (k,1,1) 3D conv on NTHWC.
+
+    Mirrors reference CausalConv1d (model_3dcausal.py:144-159 /
+    v1_1:144-178) but never leaves the 5D layout, so no (b h w) c t
+    transposes are needed — the kernel is pointwise over H and W.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    first_pad_mode: str = "zero"
+    cache_offset: int = 0
+
+    @nn.compact
+    def __call__(self, x, *, streaming: bool = False, first_chunk: bool = True,
+                 use_cache_offset: bool = False):
+        k = self.kernel_size
+        time_pad = (k - 1) + (1 - self.stride)
+        cin = x.shape[-1]
+        w = self.param("kernel", _kaiming_uniform_init(k, 1, 1), (k, 1, 1, cin, self.features), jnp.float32)
+        b = self.param("bias", _bias_uniform_init(cin * k), (self.features,), jnp.float32)
+
+        if time_pad > 0:
+            if streaming:
+                cache = self.variable(
+                    "cache",
+                    "tpad",
+                    lambda: jnp.zeros((x.shape[0], time_pad) + x.shape[2:], x.dtype),
+                )
+                if first_chunk:
+                    front = jnp.repeat(x[:, :1], time_pad, axis=1)
+                else:
+                    front = cache.value.astype(x.dtype)
+                full = jnp.concatenate([front, x], axis=1)
+                off = self.cache_offset if use_cache_offset else 0
+                L = full.shape[1]
+                cache.value = lax.slice_in_dim(full, L - off - time_pad, L - off, axis=1)
+                x = full
+            else:
+                if self.first_pad_mode == "replicate":
+                    front = jnp.repeat(x[:, :1], time_pad, axis=1)
+                else:
+                    front = jnp.zeros((x.shape[0], time_pad) + x.shape[2:], x.dtype)
+                x = jnp.concatenate([front, x], axis=1)
+
+        return conv3d(x, w, b, (self.stride, 1, 1), [(0, 0), (0, 0), (0, 0)])
+
+
+class SpatialConv(nn.Module):
+    """Per-frame 2D conv expressed as a (1,kh,kw) 3D conv on NTHWC.
+
+    Equivalent to the reference's (b t) c h w fold + Conv2d
+    (model_3dcausal.py:14-23) without the reshape round-trip.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Tuple[int, int, int, int] = None  # (top, bottom, left, right)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        w = self.param("kernel", _kaiming_uniform_init(1, k, k), (1, k, k, cin, self.features), jnp.float32)
+        b = (
+            self.param("bias", _bias_uniform_init(cin * k * k), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        if self.padding is None:
+            p = (k - 1) // 2
+            pad = (p, p, p, p)
+        else:
+            pad = self.padding
+        padding = [(0, 0), (pad[0], pad[1]), (pad[2], pad[3])]
+        return conv3d(x, w, b, (1, self.stride, self.stride), padding)

@@ -1,0 +1,178 @@
+"""Video decoder — one module covering all three reference variants.
+
+Reference: DecoderCausal3D(Padding) (model_3dcausal.py:692-885), v1.1
+(model_3dcausal_v1_1.py:763-959), Decoder3D (model_3dnoncausal.py:485-651).
+
+Mirror of the encoder: conv_in -> mid (3D resblock / attn / 3D resblock) ->
+levels from deepest to shallowest, each (num_res_blocks+1) x [spatial +
+temporal resblock], spatial 2x upsample at ``spatial_us`` levels, temporal
+2x upsample additionally at ``tempo_us`` levels -> norm/SiLU/conv_out.
+
+v1.0 drops the first (tdf-1) output frames (model_3dcausal.py:873-885);
+v1.1 returns everything and the engine crops (autoencoder_v1_1.py:333-342).
+
+Cache offsets for overlap-tiled streaming decode (reference
+autoencoder_v1_1.py:302-320) are derived statically here: walking the decode
+order with ``cur = 1``, every causal conv before a temporal upsample gets
+offset ``cur``; each temporal upsample's internal conv gets ``2*cur`` (it
+runs on already-upsampled frames) and doubles ``cur``; conv_out ends with
+``cur == time_downsample_factor``. The offsets are baked as static module
+attributes and activated by the ``use_cache_offset`` call flag.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import (
+    AttnBlock,
+    ResnetBlock3D,
+    ResnetBlockSpatial,
+    ResnetBlockTemporal,
+    SpatialUpsample,
+    TimeUpsampleRes2x,
+    _named_norm,
+)
+from .conv import CausalConv3d, Conv3d
+from .norms import silu
+
+
+class Decoder(nn.Module):
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    out_ch: int = 3
+    z_channels: int = 4
+    spatial_us: Optional[Sequence[int]] = None
+    tempo_us: Optional[Sequence[int]] = None
+    variant: str = "causal"  # causal | causal_v1_1 | noncausal
+    norm_type: str = "groupnorm"
+    dropout: float = 0.0
+    time_downsample_factor: int = 4
+    interpolation_mode: str = "nearest"  # v1.1 configs: trilinear
+    tanh_out: bool = False
+    use_checkpoint: bool = False
+
+    @property
+    def causal(self) -> bool:
+        return self.variant != "noncausal"
+
+    @property
+    def first_pad_mode(self) -> str:
+        return "replicate" if self.variant == "causal_v1_1" else "zero"
+
+    def _spatial_us(self) -> Tuple[int, ...]:
+        n = len(self.ch_mult)
+        if self.variant == "noncausal":
+            return tuple(range(1, n))
+        if self.spatial_us is None:
+            return tuple(range(1, n))
+        return tuple(self.spatial_us)
+
+    def _tempo_us(self) -> Tuple[int, ...]:
+        if self.tempo_us is None:
+            return (1, 2)
+        return tuple(self.tempo_us)
+
+    def stage_offsets(self):
+        """Static per-stage cache offsets (see module docstring).
+
+        Returns (mid_offset, level_offsets, upsample_offsets, out_offset):
+        level_offsets[i] applies to the temporal resblocks of level i,
+        upsample_offsets[i] to the internal conv of level i's temporal
+        upsample.
+        """
+        n = len(self.ch_mult)
+        tempo_us = self._tempo_us()
+        cur = 1
+        level_offsets = {}
+        upsample_offsets = {}
+        for i_level in reversed(range(n)):
+            level_offsets[i_level] = cur
+            if i_level in tempo_us:
+                upsample_offsets[i_level] = 2 * cur
+                cur *= 2
+        return 1, level_offsets, upsample_offsets, cur
+
+    @nn.compact
+    def __call__(self, z, *, streaming: bool = False, first_chunk: bool = True,
+                 deterministic: bool = True, use_cache_offset: bool = False):
+        """z: [B, T', H', W', Cz] -> x: [B, T, H, W, out_ch]."""
+        causal = self.causal
+        n = len(self.ch_mult)
+        spatial_us = self._spatial_us()
+        tempo_us = self._tempo_us()
+        mid_off, level_offs, up_offs, out_off = self.stage_offsets()
+
+        def stream(offset):
+            return dict(streaming=streaming, first_chunk=first_chunk,
+                        use_cache_offset=use_cache_offset)
+
+        block_in = self.ch * self.ch_mult[n - 1]
+        if causal:
+            h = CausalConv3d(block_in, (3, 3, 3), first_pad_mode=self.first_pad_mode,
+                             cache_offset=mid_off, name="conv_in")(z, **stream(mid_off))
+        else:
+            h = Conv3d(block_in, (3, 3, 3), name="conv_in")(z)
+
+        h = ResnetBlock3D(
+            block_in, causal=causal, norm_type=self.norm_type, dropout=self.dropout,
+            first_pad_mode=self.first_pad_mode, cache_offset=mid_off,
+            name="mid_block_1",
+        )(h, deterministic=deterministic, **stream(mid_off))
+        h = AttnBlock(norm_type=self.norm_type, causal=causal, name="mid_attn_1")(h)
+        h = ResnetBlock3D(
+            block_in, causal=causal, norm_type=self.norm_type, dropout=self.dropout,
+            first_pad_mode=self.first_pad_mode, cache_offset=mid_off,
+            name="mid_block_2",
+        )(h, deterministic=deterministic, **stream(mid_off))
+
+        # v1.1 trilinear upsample: num_temp_upsample doubles per temporal
+        # upsample encountered in decode order (model_3dcausal_v1_1.py:856-881)
+        ntu = 1
+        for i_level in reversed(range(n)):
+            block_out = self.ch * self.ch_mult[i_level]
+            off = level_offs[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                h = ResnetBlockSpatial(
+                    block_out, norm_type=self.norm_type, dropout=self.dropout,
+                    name=f"up_{i_level}_block_{i_block}",
+                )(h, deterministic=deterministic)
+                h = ResnetBlockTemporal(
+                    block_out, causal=causal, norm_type=self.norm_type,
+                    dropout=self.dropout, first_pad_mode=self.first_pad_mode,
+                    cache_offset=off,
+                    name=f"up_temporal_{i_level}_block_{i_block}",
+                )(h, deterministic=deterministic, **stream(off))
+            if i_level in spatial_us:
+                h = SpatialUpsample(name=f"up_{i_level}_upsample")(h)
+                if i_level in tempo_us:
+                    h = TimeUpsampleRes2x(
+                        h.shape[-1], causal=causal,
+                        interpolation_mode=self.interpolation_mode
+                        if self.variant == "causal_v1_1" else "nearest",
+                        num_temp_upsample=ntu,
+                        first_pad_mode=self.first_pad_mode,
+                        cache_offset=up_offs[i_level],
+                        name=f"up_temporal_{i_level}_upsample",
+                    )(h, **stream(up_offs[i_level]))
+                    ntu *= 2
+
+        h = _named_norm(self.norm_type, causal, "norm_out")(h)
+        h = silu(h)
+        if causal:
+            h = CausalConv3d(self.out_ch, (3, 3, 3), first_pad_mode=self.first_pad_mode,
+                             cache_offset=out_off, name="conv_out")(h, **stream(out_off))
+        else:
+            h = Conv3d(self.out_ch, (3, 3, 3), name="conv_out")(h)
+
+        if self.tanh_out:
+            h = jnp.tanh(h)
+
+        if self.variant == "causal":
+            # v1.0 drops the first tdf-1 frames (model_3dcausal.py:873-885)
+            h = h[:, self.time_downsample_factor - 1 :]
+        return h
