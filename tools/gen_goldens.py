@@ -1,0 +1,274 @@
+"""Generate golden parity fixtures from the PyTorch reference.
+
+Imports the reference modules (read-only, /root/reference) as a numerical
+oracle: builds randomly-initialized reference models, runs them on random
+inputs, and saves (state_dict, input, outputs) npz fixtures under
+tests/golden/. The JAX tests then convert the state_dict with
+``convert_torch_state_dict`` and assert output parity — validating both the
+architecture and the weight converter.
+
+This script is a test-data generator only; no reference code is copied into
+the framework.  Run:  python tools/gen_goldens.py
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+
+# ---- stub the reference's unavailable deps (beartype, lightning) ----------
+bt = types.ModuleType("beartype")
+bt.beartype = lambda f: f
+bt_typing = types.ModuleType("beartype.typing")
+import typing as _typing
+
+bt_typing.Tuple = _typing.Tuple
+bt_typing.Union = _typing.Union
+bt.typing = bt_typing
+sys.modules.setdefault("beartype", bt)
+sys.modules.setdefault("beartype.typing", bt_typing)
+
+lt = types.ModuleType("lightning")
+lt_pt = types.ModuleType("lightning.pytorch")
+lt_ut = types.ModuleType("lightning.pytorch.utilities")
+lt_rz = types.ModuleType("lightning.pytorch.utilities.rank_zero")
+lt_rz.rank_zero_only = lambda f: f
+lt.pytorch = lt_pt
+lt_pt.utilities = lt_ut
+lt_ut.rank_zero = lt_rz
+for name, mod in [
+    ("lightning", lt),
+    ("lightning.pytorch", lt_pt),
+    ("lightning.pytorch.utilities", lt_ut),
+    ("lightning.pytorch.utilities.rank_zero", lt_rz),
+]:
+    sys.modules.setdefault(name, mod)
+
+REF = "/root/reference"
+sys.path.insert(0, REF)
+
+import torch  # noqa: E402
+
+torch.manual_seed(0)
+
+from vidtok.modules import model_3dcausal as m1  # noqa: E402
+from vidtok.modules import model_3dcausal_v1_1 as m11  # noqa: E402
+from vidtok.modules import model_3dnoncausal as mnc  # noqa: E402
+from vidtok.modules import regularizers as refreg  # noqa: E402
+from vidtok.modules.distributions import DiagonalGaussianDistribution  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "golden")
+os.makedirs(OUT, exist_ok=True)
+
+
+def small_cfg(**over):
+    cfg = dict(
+        double_z=True, z_channels=4, in_channels=3, out_ch=3, ch=32,
+        ch_mult=[1, 2, 2], time_downsample_factor=4, num_res_blocks=1,
+        dropout=0.0, norm_type="layernorm", tempo_ds=[0, 1], tempo_us=[1, 2],
+    )
+    cfg.update(over)
+    return cfg
+
+
+def save(name, sd, arrays):
+    flat = {f"sd:{k}": v.detach().numpy() for k, v in sd.items()}
+    flat.update({k: np.asarray(v) for k, v in arrays.items()})
+    np.savez_compressed(os.path.join(OUT, f"{name}.npz"), **flat)
+    total = sum(a.nbytes for a in flat.values())
+    print(f"  {name}: {len(flat)} arrays, {total/1e6:.2f} MB")
+
+
+def randn(*shape, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    return torch.randn(*shape, generator=g)
+
+
+def reinit(model, seed):
+    """Re-randomize all parameters with a fixed seed (keeps zero-init convs
+    nonzero-free? No — we want generic weights everywhere except keep
+    mix_factor plausible). Zero-init temporal conv2 stays zero in reference
+    init; we overwrite EVERYTHING with random values to make the parity test
+    strict."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    return model
+
+
+def gen_encdec(name, enc_cls, dec_cls, cfg, T=5, H=32, W=32, seed=1):
+    enc = reinit(enc_cls(**cfg).eval(), seed)
+    dec = reinit(dec_cls(**cfg).eval(), seed + 100)
+    x = randn(1, cfg["in_channels"], T, H, W, seed=seed + 7)
+    with torch.no_grad():
+        zp = enc(x)
+        post = DiagonalGaussianDistribution(zp) if cfg["double_z"] else None
+        z = post.mode() if post is not None else zp
+        kl = None
+        if post is not None:
+            klv = post.kl()
+            kl = (torch.sum(klv) / klv.shape[0]).item()
+        dec_out = dec(z)
+    sd = {f"encoder.{k}": v for k, v in enc.state_dict().items()}
+    sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+    arrays = dict(x=x.numpy(), zp=zp.numpy(), z=z.numpy(), dec=dec_out.numpy())
+    if kl is not None:
+        arrays["kl_loss"] = np.float64(kl)
+    save(name, sd, arrays)
+
+
+def gen_fsq():
+    torch.manual_seed(3)
+    reg = refreg.FSQRegularizer(
+        levels=[8, 8, 8, 5, 5, 5], entropy_loss_weight=0.1,
+        commitment_loss_weight=0.25, diversity_gamma=1.0,
+    ).eval()
+    z = randn(2, 6, 3, 4, 4, seed=11)  # [B, D, T, H, W]
+    out, log = reg(z, n_steps=0)
+    save("fsq_regularizer", reg.state_dict(), dict(
+        z=z.numpy(), out=out.detach().numpy(),
+        indices=log["indices"].numpy().astype(np.int64),
+        aux_loss=np.float64(log["aux_loss"].item()),
+    ))
+    # annealing check
+    reg2 = refreg.FSQRegularizer(
+        levels=[8, 8, 8, 5, 5, 5], entropy_loss_weight=0.1,
+        entropy_loss_annealing_steps=100, entropy_loss_annealing_factor=3.0,
+        commitment_loss_weight=0.25,
+    ).eval()
+    out2, log2 = reg2(z, n_steps=40)
+    save("fsq_annealing", {}, dict(
+        z=z.numpy(), aux_loss=np.float64(log2["aux_loss"].item())))
+
+
+def set_attr_all(model, attr, value):
+    for m in model.modules():
+        if hasattr(m, attr):
+            setattr(m, attr, value)
+
+
+def set_cache_offset(modules, offset):
+    for mod in modules:
+        for m in mod.modules():
+            if hasattr(m, "cache_offset"):
+                m.cache_offset = offset
+
+
+def gen_v11_tiled():
+    """Tiled streaming encode/decode with overlap — the v1.1 long-video path
+    (orchestration mirrors reference autoencoder_v1_1.py:218-331)."""
+    cfg = small_cfg(interpolation_mode="trilinear")
+    enc = reinit(m11.EncoderCausal3DPadding(**cfg).eval(), 21)
+    dec = reinit(m11.DecoderCausal3DPadding(**cfg).eval(), 22)
+    T = 17
+    t_chunk_enc, tdf = 8, 4
+    t_chunk_dec = t_chunk_enc // tdf
+    x = randn(1, 3, T, 32, 32, seed=23)
+
+    def chunks(t, chunk):
+        se = [[0, 1]]
+        s = 1
+        while s < t:
+            e = min(t, s + chunk)
+            se.append([s, e])
+            s = e
+        return se
+
+    with torch.no_grad():
+        # --- single-shot for comparison
+        set_attr_all(enc, "causal_cache", None)
+        set_attr_all(enc, "is_first_chunk", True)
+        zp_full = enc(x)
+        z_full = DiagonalGaussianDistribution(zp_full).mode()
+        set_attr_all(dec, "causal_cache", None)
+        set_attr_all(dec, "is_first_chunk", True)
+        set_cache_offset([dec], 0)
+        dec_full = dec(z_full)
+
+        # --- tiled encode
+        set_attr_all(enc, "causal_cache", None)
+        zs = []
+        for i, (s, e) in enumerate(chunks(T, t_chunk_enc)):
+            set_attr_all(enc, "is_first_chunk", i == 0)
+            zp = enc(x[:, :, s:e])
+            zs.append(DiagonalGaussianDistribution(zp).mode())
+        z_tiled = torch.cat(zs, dim=2)
+
+        # --- tiled decode with overlap (tdf=4 offsets,
+        #     reference autoencoder_v1_1.py:309-312)
+        set_attr_all(dec, "causal_cache", None)
+        set_cache_offset([dec], 1)
+        set_cache_offset([dec.up_temporal[2].upsample, dec.up_temporal[1]], 2)
+        set_cache_offset([dec.up_temporal[1].upsample, dec.up_temporal[0],
+                          dec.conv_out], 4)
+        outs = []
+        tz = z_tiled.shape[2]
+        for i, (s, e) in enumerate(chunks(tz, t_chunk_dec)):
+            set_attr_all(dec, "is_first_chunk", i == 0)
+            if e + 1 <= tz:
+                out = dec(z_tiled[:, :, s : e + 1])
+                out = out[:, :, :-tdf]
+            else:
+                out = dec(z_tiled[:, :, s:e])
+            outs.append(out)
+        dec_tiled = torch.cat(outs, dim=2)
+
+    sd = {f"encoder.{k}": v for k, v in enc.state_dict().items()}
+    sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+    save("causal_v1_1_tiled", sd, dict(
+        x=x.numpy(), z_full=z_full.numpy(), dec_full=dec_full.numpy(),
+        z_tiled=z_tiled.numpy(), dec_tiled=dec_tiled.numpy(),
+        t_chunk_enc=np.int64(t_chunk_enc),
+    ))
+
+
+def gen_metrics():
+    from vidtok.modules import util as refutil
+
+    x = torch.rand(2, 3, 4, 64, 64, generator=torch.Generator().manual_seed(5))
+    y = torch.clamp(x + 0.1 * randn(2, 3, 4, 64, 64, seed=6), 0, 1)
+    psnr = refutil.compute_psnr(x, y).item()
+    ssim = refutil.compute_ssim(x, y).item()
+    x2 = torch.rand(2, 3, 4, 300, 300, generator=torch.Generator().manual_seed(7))
+    y2 = torch.clamp(x2 + 0.05 * randn(2, 3, 4, 300, 300, seed=8), 0, 1)
+    psnr2 = refutil.compute_psnr(x2, y2).item()
+    ssim2 = refutil.compute_ssim(x2, y2).item()
+    save("metrics", {}, dict(
+        x=x.numpy(), y=y.numpy(), psnr=np.float64(psnr), ssim=np.float64(ssim),
+        x2=x2.numpy(), y2=y2.numpy(), psnr2=np.float64(psnr2),
+        ssim2=np.float64(ssim2),
+    ))
+
+
+def main():
+    print("generating goldens ->", OUT)
+    gen_encdec("causal_v1_kl", m1.EncoderCausal3DPadding,
+               m1.DecoderCausal3DPadding, small_cfg())
+    gen_encdec("causal_v1_groupnorm", m1.EncoderCausal3DPadding,
+               m1.DecoderCausal3DPadding,
+               small_cfg(ch=64, ch_mult=[1, 2], tempo_ds=[0], tempo_us=[1],
+                         norm_type="groupnorm", time_downsample_factor=2))
+    gen_encdec("causal_v1_1_kl", m11.EncoderCausal3DPadding,
+               m11.DecoderCausal3DPadding,
+               small_cfg(interpolation_mode="trilinear"))
+    gen_encdec("noncausal_kl", mnc.Encoder3D, mnc.Decoder3D,
+               small_cfg(), T=8)
+    gen_encdec("causal_v1_tdf8", m1.EncoderCausal3DPadding,
+               m1.DecoderCausal3DPadding,
+               small_cfg(ch_mult=[1, 2, 2, 2], tempo_ds=[0, 1, 2],
+                         tempo_us=[1, 2, 3], time_downsample_factor=8),
+               T=9)
+    gen_encdec("fsq_model", m1.EncoderCausal3DPadding,
+               m1.DecoderCausal3DPadding,
+               small_cfg(double_z=False, z_channels=6))
+    gen_fsq()
+    gen_v11_tiled()
+    gen_metrics()
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

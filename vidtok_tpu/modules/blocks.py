@@ -26,13 +26,11 @@ from .interp import (
     temporal_linear_up2x,
     temporal_nearest_up2x,
 )
-from .norms import ChannelLayerNorm, GroupNorm, make_norm, silu
+from .norms import make_norm, silu
 
 
-def _named_norm(norm_type: str, fold_time: bool, name: str):
-    if norm_type == "groupnorm":
-        return GroupNorm(fold_time=fold_time, name=name)
-    return ChannelLayerNorm(name=name)
+def _named_norm(norm_type: str, mode: str, name: str):
+    return make_norm(norm_type, mode=mode, name=name)
 
 
 class ResnetBlockSpatial(nn.Module):
@@ -46,10 +44,10 @@ class ResnetBlockSpatial(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, **_):
         in_ch = x.shape[-1]
-        h = _named_norm(self.norm_type, True, "norm1")(x)
+        h = _named_norm(self.norm_type, "frame", "norm1")(x)
         h = silu(h)
         h = SpatialConv(self.out_channels, 3, name="conv1")(h)
-        h = _named_norm(self.norm_type, True, "norm2")(h)
+        h = _named_norm(self.norm_type, "frame", "norm2")(h)
         h = silu(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -92,10 +90,11 @@ class ResnetBlockTemporal(nn.Module):
             m = Conv3d(features, (k, 1, 1), padding=((k - 1) // 2, 0, 0), name=name)
             return lambda v: m(v)
 
-        h = _named_norm(self.norm_type, True, "norm1")(x)
+        nmode = "position" if self.causal else "column"
+        h = _named_norm(self.norm_type, nmode, "norm1")(x)
         h = silu(h)
         h = tconv(self.out_channels, 3, False, "conv1")(h)
-        h = _named_norm(self.norm_type, True, "norm2")(h)
+        h = _named_norm(self.norm_type, nmode, "norm2")(h)
         h = silu(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -138,11 +137,11 @@ class ResnetBlock3D(nn.Module):
             m = Conv3d(features, (k, k, k), name=name)
             return lambda v: m(v)
 
-        fold = self.causal
-        h = _named_norm(self.norm_type, fold, "norm1")(x)
+        nmode = "frame" if self.causal else "video"
+        h = _named_norm(self.norm_type, nmode, "norm1")(x)
         h = silu(h)
         h = conv(self.out_channels, 3, "conv1")(h)
-        h = _named_norm(self.norm_type, fold, "norm2")(h)
+        h = _named_norm(self.norm_type, nmode, "norm2")(h)
         h = silu(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -164,7 +163,8 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x, **_):
         c = x.shape[-1]
-        h_ = _named_norm(self.norm_type, True, "norm")(x)
+        h_ = _named_norm(self.norm_type,
+                         "frame" if self.causal else "video", "norm")(x)
         # kernel size 1 => causal and plain conv coincide (time_pad == 0)
         q = Conv3d(c, (1, 1, 1), name="q")(h_)
         k = Conv3d(c, (1, 1, 1), name="k")(h_)

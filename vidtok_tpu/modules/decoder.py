@@ -161,7 +161,8 @@ class Decoder(nn.Module):
                     )(h, **stream(up_offs[i_level]))
                     ntu *= 2
 
-        h = _named_norm(self.norm_type, causal, "norm_out")(h)
+        h = _named_norm(self.norm_type, "frame" if causal else "video",
+                        "norm_out")(h)
         h = silu(h)
         if causal:
             h = CausalConv3d(self.out_ch, (3, 3, 3), first_pad_mode=self.first_pad_mode,

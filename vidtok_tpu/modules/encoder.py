@@ -168,4 +168,5 @@ class Encoder(nn.Module):
     def _norm_out(self, h):
         from .blocks import _named_norm
 
-        return _named_norm(self.norm_type, self.causal, "norm_out")(h)
+        mode = "frame" if self.causal else "video"
+        return _named_norm(self.norm_type, mode, "norm_out")(h)

@@ -1,25 +1,32 @@
 """Normalization layers (channels-last, fp32 statistics).
 
-Semantics mirror reference vidtok/modules/model_3dcausal.py:30-80:
+Semantics mirror reference vidtok/modules/model_3dcausal.py:30-80 — with
+particular care for *which axes* GroupNorm statistics span, because the
+reference folds tensors into batch before normalizing and the fold differs
+per block type (and in the temporal blocks the fold uses the already-folded
+batch size, reference model_3dcausal.py:474-477, collapsing the spatial axis
+to 1):
 
-* ``layernorm``: torch ``nn.LayerNorm(num_channels)`` on channels-last data —
-  per-position statistics over the channel axis only. Layout-invariant, so
-  the reference's (b t) folding has no numerical effect here.
-* ``groupnorm``: torch ``nn.GroupNorm(32, C, eps=1e-6)``. The reference folds
-  T into batch before normalizing in the causal models
-  (model_3dcausal.py:403-416), making statistics per-frame; the non-causal
-  mid/out blocks normalize over the full (T,H,W) extent. ``fold_time``
-  selects between the two.
+  mode        stats per              stats over          reference usage
+  ----------  --------------------   -----------------   -------------------
+  'frame'     (b, t, group)          (h, w, c/g)         spatial & causal-3D
+                                                         blocks, causal
+                                                         norm_out, attn norm
+  'video'     (b, group)             (t, h, w, c/g)      non-causal mid/out
+  'position'  (b, t, h, w, group)    (c/g,)              causal temporal
+                                                         resblocks
+  'column'    (b, h, w, group)       (t, c/g)            non-causal temporal
+                                                         resblocks
 
-All statistics are computed in fp32 regardless of input dtype (TPU precision
-policy), matching the reference's fp32 autocast guards.
+LayerNorm (torch nn.LayerNorm(C) on channels-last) is per-position over the
+channel axis in every fold, so it needs no mode. All statistics are computed
+in fp32 regardless of input dtype.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 from flax import linen as nn
-from jax import nn as jnn  # noqa: F401
 
 
 class ChannelLayerNorm(nn.Module):
@@ -42,16 +49,12 @@ class ChannelLayerNorm(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm(32 groups) with optional per-frame statistics.
-
-    Input is [..., H, W, C] (rank 4 ``[N,H,W,C]``) or [B, T, H, W, C]
-    (rank 5). With ``fold_time=True`` (causal-model semantics) rank-5 inputs
-    are normalized per frame; otherwise over the full temporal extent.
-    """
+    """GroupNorm(32 groups) over [B,T,H,W,C] with reference-exact statistic
+    axes selected by ``mode`` (see module docstring)."""
 
     num_groups: int = 32
     eps: float = 1e-6
-    fold_time: bool = True
+    mode: str = "frame"  # frame | video | position | column
 
     @nn.compact
     def __call__(self, x):
@@ -62,27 +65,21 @@ class GroupNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         dtype = x.dtype
         xf = x.astype(jnp.float32)
-
         shape = xf.shape
-        if xf.ndim == 5 and self.fold_time:
-            # [B,T,H,W,C] -> stats per (b, t, group)
-            b, t, h, w, _ = shape
-            xg = xf.reshape(b, t, h * w, g, c // g)
-            axes = (2, 4)
-        elif xf.ndim == 5:
-            b, t, h, w, _ = shape
-            xg = xf.reshape(b, t * h * w, g, c // g)
-            axes = (1, 3)
-        elif xf.ndim == 4:
-            b, h, w, _ = shape
-            xg = xf.reshape(b, h * w, g, c // g)
-            axes = (1, 3)
-        elif xf.ndim == 3:
-            b, s, _ = shape
-            xg = xf.reshape(b, s, g, c // g)
-            axes = (1, 3)
+        assert xf.ndim == 5, f"GroupNorm expects [B,T,H,W,C], got rank {xf.ndim}"
+        b, t, h, w, _ = shape
+        xg = xf.reshape(b, t, h, w, g, c // g)
+
+        if self.mode == "frame":
+            axes = (2, 3, 5)
+        elif self.mode == "video":
+            axes = (1, 2, 3, 5)
+        elif self.mode == "position":
+            axes = (5,)
+        elif self.mode == "column":
+            axes = (1, 5)
         else:
-            raise ValueError(f"GroupNorm: unsupported rank {xf.ndim}")
+            raise ValueError(f"unknown GroupNorm mode {self.mode!r}")
 
         mean = jnp.mean(xg, axis=axes, keepdims=True)
         var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
@@ -91,12 +88,12 @@ class GroupNorm(nn.Module):
         return y.astype(dtype)
 
 
-def make_norm(norm_type: str, fold_time: bool = True) -> nn.Module:
+def make_norm(norm_type: str, mode: str = "frame", name=None) -> nn.Module:
     """Factory matching reference ``Normalize`` (model_3dcausal.py:30-34)."""
     if norm_type == "groupnorm":
-        return GroupNorm(fold_time=fold_time)
+        return GroupNorm(mode=mode, name=name)
     if norm_type == "layernorm":
-        return ChannelLayerNorm()
+        return ChannelLayerNorm(name=name)
     raise ValueError(f"unknown norm_type {norm_type!r}")
 
 
