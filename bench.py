@@ -1,0 +1,68 @@
+"""Benchmark: flagship encode+decode throughput on one chip.
+
+Measures 256x256@17-frame end-to-end (encode + decode) reconstruction
+throughput of vidtok_kl_causal_488_16chn in bf16 and reports frames/sec per
+chip. Baseline: 5x realtime at 30 fps = 150 frames/s/chip
+(/root/repo/BASELINE.json north star).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+BASELINE_FPS = 150.0  # 5x realtime @ 30fps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vidtok_tpu import load_model_from_config
+
+    tok = load_model_from_config(
+        os.path.join(ROOT, "configs", "vidtok_kl_causal_488_16chn.yaml"),
+        init_shape=(1, 5, 64, 64),
+        compute_dtype=jnp.bfloat16,
+    )
+
+    B, T, H, W = 1, 17, 256, 256
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(B, 3, T, H, W).astype(np.float32) * 0.5)
+
+    fn = tok._full_forward_fn(sample=False)
+    step = jax.jit(fn)
+    rng = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    out = step(tok.params, x, rng)
+    jax.block_until_ready(out)
+
+    iters = 20
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = step(tok.params, x, rng)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    med = float(np.median(times))
+    fps = B * T / med
+    result = {
+        "metric": "256p frames/sec/chip encode+decode (kl_causal_488_16chn, bf16)",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

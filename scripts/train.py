@@ -1,0 +1,183 @@
+"""Training CLI (the reference's ``main.py`` harness, TPU-native).
+
+  python scripts/train.py -b configs/vidtok_kl_causal_488_4chn.yaml \
+      [--logdir logs] [--name run1] [--resume] [--max_steps N] \
+      [nested.key=value ...]
+
+Features mirrored from reference main.py:580-1124: left-to-right config
+merge + CLI dotlist overrides, logdir/ckpt naming, auto-resume from the
+latest checkpoint, periodic validation + checkpointing + image logging,
+seeding, LR scaling. Distribution is a jax.sharding mesh (DP over 'data');
+run one process per host with jax.distributed for multi-host.
+"""
+
+import argparse
+import datetime
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("-b", "--base", nargs="+", required=True,
+                   help="config yaml(s), merged left-to-right")
+    p.add_argument("-l", "--logdir", default="logs")
+    p.add_argument("-n", "--name", default=None)
+    p.add_argument("-r", "--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--val_every", type=int, default=None)
+    p.add_argument("--ckpt_every", type=int, default=None)
+    p.add_argument("--scale_lr", action="store_true",
+                   help="lr = n_chips * batch_size * base_lr (reference "
+                        "main.py:1025-1031)")
+    p.add_argument("--lpips_weights", default=None)
+    return p
+
+
+def main():
+    args, unknown = get_parser().parse_known_args()
+    dotlist = [a for a in unknown if "=" in a]
+
+    import jax
+    import jax.numpy as jnp
+
+    from vidtok_tpu.config import merge_configs
+    from vidtok_tpu.registry import instantiate_from_config
+    from vidtok_tpu.train.trainer import VidTokTrainer
+    from vidtok_tpu.utils.checkpoint import (latest_checkpoint,
+                                             restore_train_state,
+                                             save_train_state)
+    from vidtok_tpu.utils.logging import ImageVideoLogger, MetricLogger
+
+    cfg = merge_configs(*args.base, dotlist=dotlist)
+    tcfg = cfg.get("training", {}) or {}
+    max_steps = args.max_steps or tcfg.get("max_steps", 50000)
+    val_every = args.val_every or tcfg.get("val_check_interval", 2000)
+    ckpt_every = args.ckpt_every or tcfg.get("checkpoint_every", 5000)
+
+    name = args.name or os.path.splitext(os.path.basename(args.base[0]))[0]
+    stamp = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+    if args.resume:
+        runs = sorted(d for d in os.listdir(args.logdir)
+                      if d.endswith(name)) if os.path.isdir(args.logdir) else []
+        rundir = os.path.join(args.logdir, runs[-1]) if runs else None
+    else:
+        rundir = None
+    if rundir is None:
+        rundir = os.path.join(args.logdir, f"{stamp}_{name}")
+    ckptdir = os.path.join(rundir, "checkpoints")
+    os.makedirs(ckptdir, exist_ok=True)
+
+    trainer = VidTokTrainer(cfg, lpips_weights=args.lpips_weights,
+                            seed=args.seed)
+    if not trainer.lpips_pretrained:
+        print("[train] WARNING: no converted LPIPS weights found — "
+              "perceptual loss uses random VGG features "
+              "(run tools/convert_lpips.py).")
+
+    data = instantiate_from_config(cfg["data"]).setup()
+    train_loader = data.train_dataloader()
+    val_loader = data.val_dataloader()
+
+    if args.scale_lr:
+        n_chips = trainer.mesh.devices.size
+        trainer.lr = n_chips * data.batch_size * trainer.lr
+        print(f"[train] scaled lr to {trainer.lr}")
+
+    # example batch for init
+    first_batch = next(iter(train_loader.epoch(0)))
+    x0 = first_batch["jpg"]
+    state = trainer.init_state(x0)
+
+    start_step = 0
+    path, step = latest_checkpoint(ckptdir)
+    if path is not None:
+        print(f"[train] resuming from {path}")
+        state = restore_train_state(path, jax.device_get(state))
+        start_step = step
+    state = trainer.shard_state(state)
+
+    metrics = MetricLogger(rundir)
+    img_logger = ImageVideoLogger(rundir,
+                                  batch_frequency=tcfg.get("log_images_every",
+                                                           5000))
+    rng = jax.random.PRNGKey(args.seed)
+    gstep = start_step
+    t0 = time.time()
+    print(f"[train] run dir {rundir}; {len(train_loader)} batches/epoch; "
+          f"mesh {trainer.mesh.shape}")
+
+    epoch = 0
+    while gstep < max_steps:
+        for batch in train_loader.epoch(epoch):
+            rng, sub = jax.random.split(rng)
+            state, logs = trainer.fit_step(state, batch["jpg"], sub)
+            gstep += 1
+            if gstep % 50 == 0:
+                logs = {k: float(v) for k, v in logs.items()}
+                dt = (time.time() - t0) / 50
+                t0 = time.time()
+                metrics.log_scalars(gstep, {**logs, "perf/sec_per_step": dt})
+                print(f"step {gstep}: aeloss={logs['train/aeloss']:.3f} "
+                      f"discloss={logs['train/discloss']:.3f} "
+                      f"({dt:.2f}s/step)")
+            if img_logger.should_log(gstep):
+                z, xrec, _, _ = trainer.core.apply(
+                    {"params": jax.device_get(state.params_g)["core"]},
+                    batch["jpg"][: img_logger.max_samples], rngs={"sample": sub},
+                    method=type(trainer.core).forward_train)
+                img_logger.log(gstep, batch["jpg"][: img_logger.max_samples],
+                               np.asarray(xrec))
+            if gstep % ckpt_every == 0 or gstep >= max_steps:
+                p = save_train_state(ckptdir, state, gstep)
+                print(f"[train] checkpoint -> {p}")
+            if val_every and gstep % val_every == 0 and val_loader is not None:
+                _validate(trainer, state, val_loader, metrics, gstep)
+            if gstep >= max_steps:
+                break
+        epoch += 1
+    metrics.close()
+    print("[train] done")
+
+
+def _validate(trainer, state, val_loader, metrics, gstep, max_batches=8):
+    import jax
+    import jax.numpy as jnp
+
+    from vidtok_tpu.ops.metrics import compute_psnr, compute_ssim
+
+    params = jax.device_get(state.params_g)["core"]
+    psnrs, ssims = [], []
+    for i, batch in enumerate(val_loader.epoch(0)):
+        if i >= max_batches:
+            break
+        x = jnp.asarray(batch["jpg"])
+        core = trainer.core
+        z, log = core.apply({"params": params}, x, sample_override=False,
+                            method=type(core).encode,
+                            rngs={"sample": jax.random.PRNGKey(0)})
+        xrec = core.apply({"params": params}, z, method=type(core).decode)
+        if xrec.shape[1] != x.shape[1]:
+            xrec = xrec[:, -x.shape[1]:]
+        a = (np.asarray(x) + 1) / 2
+        b = (np.clip(np.asarray(xrec), -1, 1) + 1) / 2
+        # metrics expect NCTHW
+        a = np.transpose(a, (0, 4, 1, 2, 3))
+        b = np.transpose(b, (0, 4, 1, 2, 3))
+        psnrs.append(float(compute_psnr(a, b)))
+        ssims.append(float(compute_ssim(a, b)))
+    if psnrs:
+        metrics.log_scalars(gstep, {"val/psnr": np.mean(psnrs),
+                                    "val/ssim": np.mean(ssims)})
+        print(f"[val] step {gstep}: PSNR {np.mean(psnrs):.3f} "
+              f"SSIM {np.mean(ssims):.4f}")
+
+
+if __name__ == "__main__":
+    main()

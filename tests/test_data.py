@@ -1,0 +1,99 @@
+"""Data layer tests: video IO, fps sampling math, datasets, loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vidtok_tpu.data.video_reader import (read_frames_at, read_video_frames,
+                                          sample_frames_with_fps, video_info,
+                                          write_video)
+from vidtok_tpu.data.dataset import VidTokDataset, VidTokValDataset
+from vidtok_tpu.data.pipeline import ThreadedLoader
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("videos")
+    rng = np.random.RandomState(0)
+    for i, (nframes, fps) in enumerate([(60, 30.0), (45, 30.0)]):
+        frames = (rng.rand(nframes, 48, 64, 3) * 255).astype(np.uint8)
+        write_video(str(d / f"vid{i}.mp4"), frames, fps=fps)
+    with open(d / "meta.csv", "w") as f:
+        f.write("videos\nvid0.mp4\nvid1.mp4\n")
+    return str(d)
+
+
+def test_sample_frames_with_fps_reference_semantics():
+    # 30fps video, sample_fps 3 -> interval 10; 5 frames from start 0 span 41
+    idx = sample_frames_with_fps(300, 30.0, 5, 3, start_index=0)
+    assert list(idx) == [0, 10, 20, 30, 41]
+    # video shorter than the span: start forced to 0, clamps to last frame
+    idx = sample_frames_with_fps(17, 30.0, 17, 30)
+    assert idx[0] == 0 and idx[-1] == 16
+    # sample_num_frames capped at total
+    idx = sample_frames_with_fps(5, 30.0, 17, 30, start_index=0)
+    assert len(idx) == 5
+
+
+def test_video_io_roundtrip(video_dir):
+    path = os.path.join(video_dir, "vid0.mp4")
+    total, fps = video_info(path)
+    assert total == 60 and abs(fps - 30.0) < 1
+    frames = read_frames_at(path, [0, 5, 5, 59])
+    assert frames.shape == (4, 48, 64, 3)
+    assert frames.dtype == np.float32
+    assert 0 <= frames.min() and frames.max() <= 1
+    np.testing.assert_array_equal(frames[1], frames[2])
+
+    frames2, idxs = read_video_frames(path, 8, 30, start_index=0)
+    assert frames2.shape[0] == 8
+
+
+def test_train_dataset(video_dir):
+    ds = VidTokDataset(
+        data_dir=video_dir, meta_path=os.path.join(video_dir, "meta.csv"),
+        video_params=dict(input_height=32, input_width=32,
+                          sample_num_frames=9, sample_fps=30),
+        seed=0)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["jpg"].shape == (9, 32, 32, 3)
+    assert -1.01 <= item["jpg"].min() and item["jpg"].max() <= 1.01
+
+
+def test_val_dataset_windows(video_dir):
+    ds = VidTokValDataset(
+        data_dir=video_dir, video_params=dict(
+            input_height=32, input_width=32, sample_num_frames=17,
+            sample_fps=30), pre_load_frames=False)
+    # vid0: 60 frames -> windows of 17: ceil(60/17)=4 (tail repeated)
+    # vid1: 45 -> 3 windows
+    assert len(ds) == 4 + 3
+    assert ds[0]["jpg"].shape == (17, 32, 32, 3)
+
+
+def test_val_dataset_long_video(video_dir):
+    ds = VidTokValDataset(
+        data_dir=video_dir, video_params=dict(
+            input_height=32, input_width=32, sample_num_frames=17,
+            sample_fps=30), pre_load_frames=False,
+        read_long_video=True, chunk_size=16, is_causal=True)
+    # causal: keep cs*((vl-1)//cs)+1 frames: vid0 60 -> 49; vid1 45 -> 33
+    assert len(ds) == 2
+    assert ds[0]["jpg"].shape[0] in (49, 33)
+    assert ds[1]["jpg"].shape[0] in (49, 33)
+
+
+def test_threaded_loader(video_dir):
+    ds = VidTokDataset(
+        data_dir=video_dir, meta_path=os.path.join(video_dir, "meta.csv"),
+        video_params=dict(input_height=32, input_width=32,
+                          sample_num_frames=5, sample_fps=30),
+        seed=0)
+    loader = ThreadedLoader(ds, batch_size=2, shuffle=True, num_workers=3,
+                            epoch_len=6)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    assert batches[0]["jpg"].shape == (2, 5, 32, 32, 3)
+    assert len(batches[0]["path"]) == 2

@@ -172,6 +172,20 @@ class TokenizerCore(nn.Module):
     def decode_indices(self, indices):
         return self.regularizer.decode_indices(indices)
 
+    def forward_train(self, x, *, n_steps=0, fix_encoder=False):
+        """Training forward: (z, xrec, pre_conv_out_features, reg_log).
+
+        ``fix_encoder`` stops gradients after encode (reference
+        autoencoder.py:221-229 wraps encode in no_grad)."""
+        z, reg_log = self.encode(x, deterministic=False, n_steps=n_steps)
+        if fix_encoder:
+            z = jax.lax.stop_gradient(z)
+            reg_log = jax.tree_util.tree_map(jax.lax.stop_gradient, reg_log)
+        dec, pre = self.decoder(z, deterministic=False, return_features=True)
+        if dec.shape[1] != x.shape[1]:
+            dec = dec[:, -x.shape[1]:]
+        return z, dec, pre, reg_log
+
     def __call__(self, x, *, deterministic=True, n_steps=0, sample_override=None):
         z, reg_log = self.encode(
             x, deterministic=deterministic, n_steps=n_steps,

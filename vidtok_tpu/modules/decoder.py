@@ -99,8 +99,14 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, z, *, streaming: bool = False, first_chunk: bool = True,
-                 deterministic: bool = True, use_cache_offset: bool = False):
-        """z: [B, T', H', W', Cz] -> x: [B, T, H, W, out_ch]."""
+                 deterministic: bool = True, use_cache_offset: bool = False,
+                 return_features: bool = False):
+        """z: [B, T', H', W', Cz] -> x: [B, T, H, W, out_ch].
+
+        ``return_features=True`` additionally returns the pre-conv_out
+        activations (after norm_out+SiLU) — used by the adaptive GAN weight,
+        which needs gradients w.r.t. the last-layer kernel only (reference
+        losses.py:137-148)."""
         causal = self.causal
         n = len(self.ch_mult)
         spatial_us = self._spatial_us()
@@ -164,6 +170,7 @@ class Decoder(nn.Module):
         h = _named_norm(self.norm_type, "frame" if causal else "video",
                         "norm_out")(h)
         h = silu(h)
+        pre = h
         if causal:
             h = CausalConv3d(self.out_ch, (3, 3, 3), first_pad_mode=self.first_pad_mode,
                              cache_offset=out_off, name="conv_out")(h, **stream(out_off))
@@ -175,5 +182,33 @@ class Decoder(nn.Module):
 
         if self.variant == "causal":
             # v1.0 drops the first tdf-1 frames (model_3dcausal.py:873-885)
+            h = h[:, self.time_downsample_factor - 1 :]
+        if return_features:
+            return h, pre
+        return h
+
+    def apply_conv_out(self, conv_out_params, pre):
+        """Re-apply only the final conv to pre-features (non-streaming path).
+
+        Linear in the kernel — the closure the adaptive GAN weight
+        differentiates (reference losses.py:137-148)."""
+        from .conv import conv3d as _conv3d
+
+        kernel = conv_out_params["kernel"]
+        bias = conv_out_params["bias"]
+        if self.causal:
+            if self.first_pad_mode == "replicate":
+                front = jnp.repeat(pre[:, :1], 2, axis=1)
+            else:
+                front = jnp.zeros_like(pre[:, :2])
+            x = jnp.concatenate([front, pre], axis=1)
+            h = _conv3d(x, kernel, bias, (1, 1, 1),
+                        [(0, 0), (1, 1), (1, 1)])
+        else:
+            h = _conv3d(pre, kernel, bias, (1, 1, 1),
+                        [(1, 1), (1, 1), (1, 1)])
+        if self.tanh_out:
+            h = jnp.tanh(h)
+        if self.variant == "causal":
             h = h[:, self.time_downsample_factor - 1 :]
         return h

@@ -46,11 +46,31 @@ def register(name: str = None) -> Callable:
     return deco
 
 
+# Lazily-imported built-in components (name -> defining module).
+_LAZY = {
+    "VidTokDataset": "vidtok_tpu.data.dataset",
+    "VidTokValDataset": "vidtok_tpu.data.dataset",
+    "DataModuleFromConfig": "vidtok_tpu.data.datamodule",
+    "Encoder": "vidtok_tpu.modules.encoder",
+    "Decoder": "vidtok_tpu.modules.decoder",
+    "DiagonalGaussianRegularizer": "vidtok_tpu.modules.regularizers",
+    "FSQRegularizer": "vidtok_tpu.modules.regularizers",
+    "NLayerDiscriminator": "vidtok_tpu.modules.discriminator",
+    "NLayerDiscriminator3D": "vidtok_tpu.modules.discriminator",
+    "LPIPS": "vidtok_tpu.modules.lpips",
+}
+
+
 def resolve(target: str) -> Any:
     """Resolve a `target:` string to a class/callable."""
     target = _ALIASES.get(target, target)
     if target in _REGISTRY:
         return _REGISTRY[target]
+    if target in _LAZY:
+        mod = importlib.import_module(_LAZY[target])
+        obj = getattr(mod, target)
+        _REGISTRY[target] = obj
+        return obj
     # Fall back to dotted import within our own package namespace only.
     if "." in target:
         return get_obj_from_str(target)

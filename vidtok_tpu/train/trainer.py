@@ -1,0 +1,200 @@
+"""VidTokTrainer — the training engine (replaces the reference's Lightning
+harness, reference main.py:580-1124 + autoencoder.py:231-298).
+
+One jitted ``train_step`` performs the full two-optimizer GAN update:
+generator loss (L1 + LPIPS + adaptive-weight GAN + regularizer terms) and
+discriminator loss (hinge + LeCAM), both with global-norm-20 clipping, plus
+optional EMA — all inside a single XLA program with the batch sharded over
+the mesh 'data' axis (gradients all-reduce over ICI automatically).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import load_config
+from ..models.autoencoder import TokenizerCore, build_core_from_config
+from ..modules.lpips import LPIPS, init_lpips_params, load_lpips_params
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .losses import (LossConfig, discriminator_loss, generator_loss,
+                     make_discriminator)
+from .state import TrainState, ema_update, make_optimizer
+
+
+class VidTokTrainer:
+    def __init__(self, config, mesh=None, lpips_weights: Optional[str] = None,
+                 seed: int = 23):
+        cfg = load_config(config)
+        self.cfg = cfg
+        model_cfg = cfg.get("model", cfg)
+        self.core, self.meta = build_core_from_config(model_cfg)
+        p = model_cfg.get("params", {})
+        self.loss_cfg = LossConfig.from_dict(
+            (p.get("loss_config") or {}).get("params"))
+        self.disc = make_discriminator(self.loss_cfg)
+        self.lpips = LPIPS()
+        self.lr = float(model_cfg.get("base_learning_rate", 1e-5))
+        tcfg = cfg.get("training", {}) or {}
+        self.grad_clip = float(tcfg.get("grad_clip", 20.0))
+        self.ema_decay = p.get("ema_decay")
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.opt_g = make_optimizer(self.lr, self.grad_clip)
+        self.opt_d = make_optimizer(self.lr, self.grad_clip)
+
+        lp = load_lpips_params(lpips_weights) if lpips_weights else load_lpips_params()
+        self.lpips_params = lp if lp is not None else init_lpips_params()
+        self.lpips_pretrained = lp is not None
+
+        self._train_step = None
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, example_x: np.ndarray) -> TrainState:
+        """example_x: [B, T, H, W, C] channels-last in [-1,1]."""
+        rng = jax.random.PRNGKey(self.seed)
+        r_core, r_disc, r_s = jax.random.split(rng, 3)
+        x = jnp.zeros(example_x.shape, jnp.float32)
+        core_vars = self.core.init({"params": r_core, "sample": r_s}, x,
+                                   sample_override=False)
+        disc_in = (x.reshape((-1,) + x.shape[2:]) if self.loss_cfg.disc_type == "2d"
+                   else x)
+        disc_vars = self.disc.init(r_disc, disc_in, train=False)
+        params_g = {"core": core_vars["params"],
+                    "logvar": jnp.float32(self.loss_cfg.logvar_init)}
+        params_d = disc_vars["params"]
+        batch_stats_d = disc_vars.get("batch_stats", {})
+        state = TrainState(
+            step=jnp.int32(0),
+            params_g=params_g,
+            params_d=params_d,
+            batch_stats_d=batch_stats_d,
+            opt_state_g=self.opt_g.init(params_g),
+            opt_state_d=self.opt_d.init(params_d),
+            lecam_ema_real=jnp.float32(0.0),
+            lecam_ema_fake=jnp.float32(0.0),
+            # copy so donation never sees aliased buffers
+            ema_params=(jax.tree_util.tree_map(jnp.array, (params_g, params_d))
+                        if self.ema_decay else None),
+        )
+        return state
+
+    # ------------------------------------------------------------------
+
+    def _grad_mask(self, grads_g):
+        """Zero grads for frozen subtrees (fix_encoder/fix_decoder,
+        learn_logvar=False)."""
+        if self.meta.get("fix_encoder"):
+            grads_g["core"]["encoder"] = jax.tree_util.tree_map(
+                jnp.zeros_like, grads_g["core"]["encoder"])
+        if self.meta.get("fix_decoder"):
+            grads_g["core"]["decoder"] = jax.tree_util.tree_map(
+                jnp.zeros_like, grads_g["core"]["decoder"])
+        if not self.loss_cfg.learn_logvar:
+            grads_g["logvar"] = jnp.zeros_like(grads_g["logvar"])
+        return grads_g
+
+    def build_train_step(self):
+        core, disc, lpips = self.core, self.disc, self.lpips
+        loss_cfg = self.loss_cfg
+        meta = self.meta
+        opt_g, opt_d = self.opt_g, self.opt_d
+        ema_decay = self.ema_decay
+
+        def train_step(state: TrainState, x, lpips_params, rng):
+            """x: [B, T, H, W, C] (sharded over 'data'); returns
+            (new_state, logs)."""
+            step = state.step
+
+            def g_loss_fn(params_g):
+                z, xrec, pre, reg_log = core.apply(
+                    {"params": params_g["core"]}, x,
+                    n_steps=step, fix_encoder=meta.get("fix_encoder", False),
+                    rngs={"sample": rng},
+                    method=TokenizerCore.forward_train,
+                )
+                disc_vars = {"params": state.params_d,
+                             "batch_stats": state.batch_stats_d}
+                loss, logs = generator_loss(
+                    cfg=loss_cfg, lpips=lpips, lpips_params=lpips_params,
+                    disc=disc, disc_vars=disc_vars,
+                    decoder=core.decoder,
+                    decoder_params=params_g["core"]["decoder"],
+                    logvar=params_g["logvar"], x=x, xrec=xrec,
+                    pre_features=pre, reg_log=reg_log, global_step=step,
+                )
+                return loss, (xrec, logs)
+
+            (aeloss, (xrec, logs_g)), grads_g = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.params_g)
+            grads_g = self._grad_mask(grads_g)
+            updates_g, new_opt_g = opt_g.update(grads_g, state.opt_state_g,
+                                                state.params_g)
+            new_params_g = optax.apply_updates(state.params_g, updates_g)
+
+            def d_loss_fn(params_d):
+                disc_vars = {"params": params_d,
+                             "batch_stats": state.batch_stats_d}
+                d_loss, logs_d, new_bs, lecam = discriminator_loss(
+                    cfg=loss_cfg, disc=disc, disc_vars=disc_vars, x=x,
+                    xrec=xrec, global_step=step,
+                    lecam_ema_real=state.lecam_ema_real,
+                    lecam_ema_fake=state.lecam_ema_fake,
+                )
+                return d_loss, (logs_d, new_bs, lecam)
+
+            (discloss, (logs_d, new_bs, lecam)), grads_d = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.params_d)
+            updates_d, new_opt_d = opt_d.update(grads_d, state.opt_state_d,
+                                                state.params_d)
+            new_params_d = optax.apply_updates(state.params_d, updates_d)
+
+            new_ema = state.ema_params
+            if ema_decay is not None and state.ema_params is not None:
+                new_ema = ema_update(state.ema_params,
+                                     (new_params_g, new_params_d),
+                                     step, ema_decay)
+
+            new_state = state.replace(
+                step=step + 1,
+                params_g=new_params_g,
+                params_d=new_params_d,
+                batch_stats_d=new_bs if new_bs is not None else state.batch_stats_d,
+                opt_state_g=new_opt_g,
+                opt_state_d=new_opt_d,
+                lecam_ema_real=lecam[0],
+                lecam_ema_fake=lecam[1],
+                ema_params=new_ema,
+            )
+            logs = {"train/aeloss": aeloss, "train/discloss": discloss}
+            logs.update(logs_g)
+            logs.update(logs_d)
+            return new_state, logs
+
+        return train_step
+
+    def jitted_train_step(self):
+        if self._train_step is None:
+            self._train_step = jax.jit(self.build_train_step(),
+                                       donate_argnums=(0,))
+        return self._train_step
+
+    # ------------------------------------------------------------------
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        return replicate(self.mesh, state)
+
+    def shard_batch(self, x):
+        return shard_batch(self.mesh, x)
+
+    def fit_step(self, state, x, rng):
+        """One sharded training step (x: [B,T,H,W,C] numpy/NCTHW-free)."""
+        step_fn = self.jitted_train_step()
+        return step_fn(state, self.shard_batch(jnp.asarray(x)),
+                       self.lpips_params, rng)

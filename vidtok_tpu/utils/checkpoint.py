@@ -211,3 +211,51 @@ def unflatten_params(flat: Dict[str, np.ndarray]) -> dict:
 def save_params(path: str, params: dict):
     flat = flatten_params(jax.device_get(params))
     np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
+
+
+# ---------------------------------------------------------------------------
+# Orbax train-state checkpointing (reference: Lightning ModelCheckpoint,
+# main.py:861-880 + auto-resume main.py:687-727)
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(ckpt_dir: str, state, step: int, keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    # prune old checkpoints, keep the newest `keep`
+    steps = sorted(all_checkpoint_steps(ckpt_dir))
+    for s in steps[:-keep]:
+        import shutil
+
+        shutil.rmtree(os.path.join(ckpt_dir, f"step_{s:08d}"),
+                      ignore_errors=True)
+    return path
+
+
+def all_checkpoint_steps(ckpt_dir: str):
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in os.listdir(ckpt_dir):
+        m = re.match(r"step_(\d+)$", name)
+        if m:
+            out.append(int(m.group(1)))
+    return out
+
+
+def latest_checkpoint(ckpt_dir: str):
+    steps = all_checkpoint_steps(ckpt_dir)
+    if not steps:
+        return None, None
+    s = max(steps)
+    return os.path.abspath(os.path.join(ckpt_dir, f"step_{s:08d}")), s
+
+
+def restore_train_state(path: str, abstract_state):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), abstract_state)
