@@ -11,16 +11,23 @@ This script is a test-data generator only; no reference code is copied into
 the framework.  Run:  python tools/gen_goldens.py
 """
 
+import importlib.machinery
 import os
 import sys
 import types
 
 import numpy as np
 
+
+def _mkmod(name):
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
+
 # ---- stub the reference's unavailable deps (beartype, lightning) ----------
-bt = types.ModuleType("beartype")
+bt = _mkmod("beartype")
 bt.beartype = lambda f: f
-bt_typing = types.ModuleType("beartype.typing")
+bt_typing = _mkmod("beartype.typing")
 import typing as _typing
 
 bt_typing.Tuple = _typing.Tuple
@@ -29,10 +36,10 @@ bt.typing = bt_typing
 sys.modules.setdefault("beartype", bt)
 sys.modules.setdefault("beartype.typing", bt_typing)
 
-lt = types.ModuleType("lightning")
-lt_pt = types.ModuleType("lightning.pytorch")
-lt_ut = types.ModuleType("lightning.pytorch.utilities")
-lt_rz = types.ModuleType("lightning.pytorch.utilities.rank_zero")
+lt = _mkmod("lightning")
+lt_pt = _mkmod("lightning.pytorch")
+lt_ut = _mkmod("lightning.pytorch.utilities")
+lt_rz = _mkmod("lightning.pytorch.utilities.rank_zero")
 lt_rz.rank_zero_only = lambda f: f
 lt.pytorch = lt_pt
 lt_pt.utilities = lt_ut
@@ -243,6 +250,148 @@ def gen_metrics():
     ))
 
 
+def _install_vidtwin_stubs():
+    """timm / omegaconf / losses stubs so the reference vidtwin modules
+    import without their GPU-era deps."""
+    import torch.nn as tnn
+
+    timm = _mkmod("timm")
+    timm_m = _mkmod("timm.models")
+    timm_l = _mkmod("timm.models.layers")
+    timm_v = _mkmod("timm.models.vision_transformer")
+
+    class DropPath(tnn.Module):
+        def __init__(self, p=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    class Mlp(tnn.Module):
+        def __init__(self, in_features, hidden_features, act_layer, drop=0.0):
+            super().__init__()
+            self.fc1 = tnn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.fc2 = tnn.Linear(hidden_features, in_features)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    timm_l.DropPath = DropPath
+    timm_v.Mlp = Mlp
+    timm.models = timm_m
+    timm_m.layers = timm_l
+    timm_m.vision_transformer = timm_v
+    for n, m in [("timm", timm), ("timm.models", timm_m),
+                 ("timm.models.layers", timm_l),
+                 ("timm.models.vision_transformer", timm_v)]:
+        sys.modules.setdefault(n, m)
+
+    oc = _mkmod("omegaconf")
+
+    class ListConfig(list):
+        pass
+
+    oc.ListConfig = ListConfig
+    sys.modules.setdefault("omegaconf", oc)
+
+    # LightningModule stub for the model base class
+    import lightning.pytorch as lpt
+
+    if not hasattr(lpt, "LightningModule"):
+        lpt.LightningModule = tnn.Module
+
+
+class AttrDict(dict):
+    """dict with attribute access (OmegaConf-style, for reference configs)."""
+
+    def __getattr__(self, k):
+        v = self[k]
+        return AttrDict(v) if isinstance(v, dict) else v
+
+
+def gen_vidtwin():
+    _install_vidtwin_stubs()
+    # stub vidtok.modules.losses so the Lightning class can instantiate its
+    # loss without torchvision/LPIPS downloads
+    losses_stub = _mkmod("vidtok.modules.losses")
+
+    class GeneralLPIPSWithDiscriminator(torch.nn.Module):
+        def __init__(self, **kwargs):
+            super().__init__()
+
+    losses_stub.GeneralLPIPSWithDiscriminator = GeneralLPIPSWithDiscriminator
+    sys.modules["vidtok.modules.losses"] = losses_stub
+
+    from vidtwin.models import vidtwin_ae as vta
+    from vidtwin.modules import st_transformer as stt
+    from vidtwin.modules import qformer as qf
+
+    enc_cfg = AttrDict(target="vidtwin.modules.st_transformer.STTEncoder",
+                       params=AttrDict(in_channels=3, input_size=[4, 32, 32],
+                                       patch_size=[1, 8, 8], hidden_size=64,
+                                       depth=2, num_heads=4,
+                                       temporal_casual=False,
+                                       enable_flashattn=False))
+    dec_cfg = AttrDict(target="vidtwin.modules.st_transformer.STTDecoder",
+                       params=AttrDict(in_channels=3, input_size=[4, 32, 32],
+                                       patch_size=[1, 8, 8], hidden_size=64,
+                                       depth=2, num_heads=4,
+                                       temporal_casual=False,
+                                       enable_flashattn=False))
+    q_cfg = AttrDict(target="vidtwin.modules.qformer.MyQformerInterface",
+                     params=AttrDict(num_query_tokens=4, query_hidden_size=32,
+                                     encoder_hidden_size=64))
+    reg_cfg = AttrDict(target="vidtok.modules.regularizers.DiagonalGaussianRegularizer",
+                       params=AttrDict(sample=False))
+    loss_cfg = AttrDict(target="vidtok.modules.losses.GeneralLPIPSWithDiscriminator",
+                        params=AttrDict())
+
+    # The reference STBlock hard-casts through fp64/bf16
+    # (st_transformer.py:336-362), which cannot run on CPU with fp32
+    # weights. Neutralize the casts to fp32 so the oracle captures the pure
+    # math; our JAX model's bf16-attention policy is tested separately.
+    _orig_to = torch.Tensor.to
+
+    def _to32(self, *args, **kwargs):
+        args = tuple(torch.float32 if a in (torch.float64, torch.bfloat16)
+                     else a for a in args)
+        if kwargs.get("dtype") in (torch.float64, torch.bfloat16):
+            kwargs["dtype"] = torch.float32
+        return _orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = _to32
+
+    torch.manual_seed(7)
+    model = vta.VidAutoEncoderQformerCompactSymVidVAE(
+        encoder_config=enc_cfg, decoder_config=dec_cfg, loss_config=loss_cfg,
+        regularizer_config=reg_cfg, temporal_qformer_config=q_cfg,
+        expect_ch=8, cont_num_blocks=1, downsample_motion=True,
+        motion_num_blocks=1, d_dim=8, init_ch=16,
+    ).eval()
+    reinit(model, 71)
+
+    x = randn(2, 3, 4, 32, 32, seed=72)
+    with torch.no_grad():
+        z, z_content, z_mx, z_my, reg_log = model.encode(x, return_reg_log=True)
+        dec = model.decode(z, z_content, z_mx, z_my)
+        dec_content = model.decode(z, z_content, z_mx, z_my, only_part="content")
+        # submodule goldens
+        z_enc = model.encoder(x)
+        dec_direct = model.decoder(z_enc)
+        qin = randn(3, 4, 64, seed=73)
+        q_out = model.temporal_qformer(qin)
+    torch.Tensor.to = _orig_to
+    save("vidtwin", model.state_dict(), dict(
+        x=x.numpy(), z=z.numpy(), z_content=z_content.numpy(),
+        z_mx=z_mx.numpy(), z_my=z_my.numpy(),
+        kl_loss=np.float64(reg_log["kl_loss"].item()),
+        dec=dec.numpy(), dec_content=dec_content.numpy(),
+        z_enc=z_enc.numpy(), dec_direct=dec_direct.numpy(),
+        qin=qin.numpy(), q_out=q_out.numpy(),
+    ))
+
+
 def main():
     print("generating goldens ->", OUT)
     gen_encdec("causal_v1_kl", m1.EncoderCausal3DPadding,
@@ -267,6 +416,7 @@ def main():
     gen_fsq()
     gen_v11_tiled()
     gen_metrics()
+    gen_vidtwin()
     print("done")
 
 
