@@ -166,6 +166,25 @@ def test_v1_1_tiled_streaming_parity():
                                **TOL)
 
 
+def test_v1_1_scan_streaming_parity():
+    """The single-graph lax.scan streaming path (BASELINE north star) matches
+    the reference tiled outputs bit-for-bit."""
+    sd, arrays = load_golden("causal_v1_1_tiled")
+    from vidtok_tpu.models.autoencoder import VideoTokenizer
+
+    cfg = small_cfg(interpolation_mode="trilinear")
+    core, meta = make_core("EncoderCausal3DV1_1", "DecoderCausal3DV1_1", cfg)
+    params = check_convert(core, cfg, sd, 5)
+    meta = dict(meta, use_tiling=True, t_chunk_enc=int(arrays["t_chunk_enc"]))
+    tok = VideoTokenizer(core, params, meta)
+    tok.use_overlap = True
+
+    z, log = tok.encode_streaming_scan(jnp.asarray(arrays["x"]), sample=False)
+    np.testing.assert_allclose(np.asarray(z), arrays["z_tiled"], **TOL)
+    dec = tok.decode_streaming_scan(z)
+    np.testing.assert_allclose(np.asarray(dec), arrays["dec_tiled"], **TOL)
+
+
 def test_metrics_parity():
     _, arrays = load_golden("metrics")
     from vidtok_tpu.ops.metrics import compute_psnr, compute_ssim

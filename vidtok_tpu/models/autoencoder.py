@@ -396,6 +396,143 @@ class VideoTokenizer:
         self._jit_cache[key] = fns
         return fns
 
+    # -- lax.scan streaming: the whole chunk loop is ONE compiled graph.
+    # The causal cache pytree (fixed shapes, independent of chunk count) is
+    # the scan carry; chunk k's latents stream out as stacked ys. Used when
+    # the video length is chunk-aligned (T = 1 + k*t_chunk); the per-chunk
+    # jit path below handles ragged tails and reuses its compiled step for
+    # ANY video length without recompilation.
+
+    def _scan_encode_fn(self, k, sample):
+        key = ("scan_enc", k, sample)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        chunk = self.t_chunk_enc
+
+        def fn(params, x, rng):
+            # x: [B, C, 1 + k*chunk, H, W]
+            xt = _to_nthwc(x).astype(self.compute_dtype)
+            first = self.core.encoder.pad_input(xt[:, :1])
+            rngs = jax.random.split(rng, k + 1)
+            (z0, log0), vars_ = self.core.apply(
+                {"params": params}, first, streaming=True, first_chunk=True,
+                sample_override=sample, rngs={"sample": rngs[0]},
+                method=TokenizerCore.encode, mutable=["cache"],
+            )
+            rest = xt[:, 1:]
+            b, _, h, w, c = xt.shape
+            chunks = rest.reshape(b, k, chunk, h, w, c)
+            chunks = jnp.moveaxis(chunks, 1, 0)  # [k, B, chunk, H, W, C]
+
+            def step(cache, inp):
+                xc, key_i = inp
+                (z, log), vs = self.core.apply(
+                    {"params": params, "cache": cache}, xc, streaming=True,
+                    first_chunk=False, sample_override=sample,
+                    rngs={"sample": key_i},
+                    method=TokenizerCore.encode, mutable=["cache"],
+                )
+                return vs["cache"], (z, log)
+
+            _, (zs, logs) = jax.lax.scan(step, vars_["cache"],
+                                         (chunks, rngs[1:]))
+            # zs: [k, B, chunk', h', w', cz] -> concat on time
+            zk = jnp.moveaxis(zs, 0, 1)
+            zk = zk.reshape(zk.shape[0], -1, *zk.shape[3:])
+            z = jnp.concatenate([z0, zk], axis=1)
+            if self.discrete:
+                log = {
+                    "aux_loss": (log0["aux_loss"] + jnp.sum(logs["aux_loss"]))
+                    / (k + 1),
+                    "indices": jnp.concatenate(
+                        [log0["indices"],
+                         jnp.moveaxis(logs["indices"], 0, 1).reshape(
+                             z.shape[0], -1, *logs["indices"].shape[3:])],
+                        axis=1),
+                }
+            else:
+                log = {"kl_loss": (log0["kl_loss"] + jnp.sum(logs["kl_loss"]))
+                       / (k + 1)}
+            return _to_ncthw(z.astype(jnp.float32)), log
+
+        self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def _scan_decode_fn(self, k, use_overlap):
+        """k = number of full-size latent chunks after the first (the last
+        one has no lookahead)."""
+        key = ("scan_dec", k, use_overlap)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        chunk = self.t_chunk_dec
+        tdf = self.time_downsample_factor
+
+        def fn(params, z):
+            zt = _to_nthwc(z).astype(self.compute_dtype)
+            b = zt.shape[0]
+            t = zt.shape[1]
+
+            def run(cache, zc, first):
+                variables = {"params": params}
+                if cache is not None:
+                    variables["cache"] = cache
+                dec, vs = self.core.apply(
+                    variables, zc, streaming=True, first_chunk=first,
+                    use_cache_offset=use_overlap,
+                    method=TokenizerCore.decode, mutable=["cache"],
+                )
+                return dec, vs["cache"]
+
+            first_overlap = use_overlap and t >= 2
+            z0 = zt[:, : 1 + (1 if first_overlap else 0)]
+            d0, cache = run(None, z0, True)
+            if first_overlap:
+                d0 = d0[:, : d0.shape[1] - tdf]
+            outs = [d0]
+            if k > 1:
+                width = chunk + (1 if use_overlap else 0)
+                mids = jnp.stack([
+                    zt[:, 1 + i * chunk : 1 + i * chunk + width]
+                    for i in range(k - 1)])
+
+                def step(cache, zc):
+                    dec, c2 = run(cache, zc, False)
+                    if use_overlap:
+                        dec = dec[:, : dec.shape[1] - tdf]
+                    return c2, dec
+
+                cache, ds = jax.lax.scan(step, cache, mids)
+                dm = jnp.moveaxis(ds, 0, 1).reshape(b, -1, *ds.shape[3:])
+                outs.append(dm)
+            if k > 0:
+                zl = zt[:, 1 + (k - 1) * chunk :]
+                dl, _ = run(cache, zl, False)
+                outs.append(dl)
+            out = jnp.concatenate(outs, axis=1)
+            return _to_ncthw(out.astype(jnp.float32))
+
+        self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def encode_streaming_scan(self, x, sample: bool = False):
+        """Whole-video tiled encode as a single compiled lax.scan program.
+
+        Requires T == 1 + k * t_chunk_enc (the shape VidTokValDataset's
+        read_long_video mode produces, reference vidtok.py:220-233)."""
+        x = jnp.asarray(x)
+        t = x.shape[2]
+        k, rem = divmod(t - 1, self.t_chunk_enc)
+        assert rem == 0, f"T={t} not 1 + k*{self.t_chunk_enc}"
+        return self._scan_encode_fn(k, sample)(self.params, x,
+                                               self._next_rng())
+
+    def decode_streaming_scan(self, z):
+        z = jnp.asarray(z)
+        t = z.shape[2]
+        k, rem = divmod(t - 1, self.t_chunk_dec)
+        assert rem == 0, f"T'={t} not 1 + k*{self.t_chunk_dec}"
+        return self._scan_decode_fn(k, self.use_overlap)(self.params, z)
+
     def _tile_encode(self, x, sample=False):
         b, c, t, h, w = x.shape
         start_end = self.build_chunk_start_end(t)
