@@ -32,6 +32,10 @@ _ALIASES = {
     "vidtok.data.vidtok.VidTokDataset": "VidTokDataset",
     "vidtok.data.vidtok.VidTokValDataset": "VidTokValDataset",
     "vidtok.modules.logger.ImageVideoLogger": "ImageVideoLogger",
+    "vidtwin.models.vidtwin_ae.VidAutoEncoderQformerCompactSymVidVAE": "VidTwinVAE",
+    "vidtwin.modules.st_transformer.STTEncoder": "STTEncoder",
+    "vidtwin.modules.st_transformer.STTDecoder": "STTDecoder",
+    "vidtwin.modules.qformer.MyQformerInterface": "QFormerInterface",
 }
 
 

@@ -119,11 +119,16 @@ def perceptual_loss(lpips: LPIPS, lpips_params, x_frames, y_frames):
 
 def generator_loss(
     *, cfg: LossConfig, lpips: LPIPS, lpips_params, disc, disc_vars,
-    decoder, decoder_params, logvar, x, xrec, pre_features, reg_log,
-    global_step, split="train",
+    last_layer_params, apply_last_layer, logvar, x, xrec, pre_features,
+    reg_log, global_step, split="train",
 ):
-    """Returns (loss, logs). ``pre_features`` are the decoder's pre-conv_out
-    activations (stop-gradient inside the adaptive-weight closure)."""
+    """Returns (loss, logs).
+
+    ``pre_features`` are the decoder's pre-last-layer activations and
+    ``apply_last_layer(last_layer_params, pre) -> xrec`` re-applies only the
+    final projection — the closure the adaptive weight differentiates
+    (reference losses.py:137-148 takes autograd.grad w.r.t. the last-layer
+    weight only)."""
     xf = _fold_frames(x)
     rf = _fold_frames(xrec)
     rec = jnp.abs(xf - rf)
@@ -150,10 +155,10 @@ def generator_loss(
     # ---- adaptive weight (reference losses.py:137-148) -------------------
     if cfg.disc_factor > 0.0:
         pre_sg = jax.lax.stop_gradient(pre_features)
-        conv_out_params = decoder_params["conv_out"]
+        conv_out_params = last_layer_params
 
         def nll_of_k(cop):
-            xr = decoder.apply_conv_out(cop, pre_sg)
+            xr = apply_last_layer(cop, pre_sg)
             if xr.shape[1] != x.shape[1]:
                 xr = xr[:, -x.shape[1]:]
             xrf = _fold_frames(xr)
@@ -165,7 +170,7 @@ def generator_loss(
             return jnp.sum(n) / n.shape[0]
 
         def g_of_k(cop):
-            xr = decoder.apply_conv_out(cop, pre_sg)
+            xr = apply_last_layer(cop, pre_sg)
             if xr.shape[1] != x.shape[1]:
                 xr = xr[:, -x.shape[1]:]
             lf, _ = _apply_disc(disc, disc_vars, xr, True, cfg)

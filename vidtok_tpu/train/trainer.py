@@ -124,8 +124,8 @@ class VidTokTrainer:
                 loss, logs = generator_loss(
                     cfg=loss_cfg, lpips=lpips, lpips_params=lpips_params,
                     disc=disc, disc_vars=disc_vars,
-                    decoder=core.decoder,
-                    decoder_params=params_g["core"]["decoder"],
+                    last_layer_params=params_g["core"]["decoder"]["conv_out"],
+                    apply_last_layer=core.decoder.apply_conv_out,
                     logvar=params_g["logvar"], x=x, xrec=xrec,
                     pre_features=pre, reg_log=reg_log, global_step=step,
                 )
