@@ -113,35 +113,55 @@ def main():
     print(f"[train] run dir {rundir}; {len(train_loader)} batches/epoch; "
           f"mesh {trainer.mesh.shape}")
 
+    # checkpoint-on-signal / on-exception (reference melk()/SetupCallback
+    # on_exception, main.py:322-329, 1038-1070)
+    import signal
+
+    def melk(*_):
+        p = save_train_state(ckptdir, state, int(jax.device_get(state.step)))
+        print(f"[train] emergency checkpoint -> {p}")
+
+    try:
+        signal.signal(signal.SIGUSR1, melk)
+    except (ValueError, OSError):
+        pass
+
     epoch = 0
-    while gstep < max_steps:
-        for batch in train_loader.epoch(epoch):
-            rng, sub = jax.random.split(rng)
-            state, logs = trainer.fit_step(state, batch["jpg"], sub)
-            gstep += 1
-            if gstep % 50 == 0:
-                logs = {k: float(v) for k, v in logs.items()}
-                dt = (time.time() - t0) / 50
-                t0 = time.time()
-                metrics.log_scalars(gstep, {**logs, "perf/sec_per_step": dt})
-                print(f"step {gstep}: aeloss={logs['train/aeloss']:.3f} "
-                      f"discloss={logs['train/discloss']:.3f} "
-                      f"({dt:.2f}s/step)")
-            if img_logger.should_log(gstep):
-                z, xrec, _, _ = trainer.core.apply(
-                    {"params": jax.device_get(state.params_g)["core"]},
-                    batch["jpg"][: img_logger.max_samples], rngs={"sample": sub},
-                    method=type(trainer.core).forward_train)
-                img_logger.log(gstep, batch["jpg"][: img_logger.max_samples],
-                               np.asarray(xrec))
-            if gstep % ckpt_every == 0 or gstep >= max_steps:
-                p = save_train_state(ckptdir, state, gstep)
-                print(f"[train] checkpoint -> {p}")
-            if val_every and gstep % val_every == 0 and val_loader is not None:
-                _validate(trainer, state, val_loader, metrics, gstep)
-            if gstep >= max_steps:
-                break
-        epoch += 1
+    try:
+        while gstep < max_steps:
+            for batch in train_loader.epoch(epoch):
+                rng, sub = jax.random.split(rng)
+                state, logs = trainer.fit_step(state, batch["jpg"], sub)
+                gstep += 1
+                if gstep % 50 == 0:
+                    logs = {k: float(v) for k, v in logs.items()}
+                    dt = (time.time() - t0) / 50
+                    t0 = time.time()
+                    metrics.log_scalars(gstep,
+                                        {**logs, "perf/sec_per_step": dt})
+                    print(f"step {gstep}: aeloss={logs['train/aeloss']:.3f} "
+                          f"discloss={logs['train/discloss']:.3f} "
+                          f"({dt:.2f}s/step)")
+                if img_logger.should_log(gstep):
+                    z, xrec, _, _ = trainer.core.apply(
+                        {"params": jax.device_get(state.params_g)["core"]},
+                        batch["jpg"][: img_logger.max_samples],
+                        rngs={"sample": sub},
+                        method=type(trainer.core).forward_train)
+                    img_logger.log(gstep,
+                                   batch["jpg"][: img_logger.max_samples],
+                                   np.asarray(xrec))
+                if gstep % ckpt_every == 0 or gstep >= max_steps:
+                    p = save_train_state(ckptdir, state, gstep)
+                    print(f"[train] checkpoint -> {p}")
+                if val_every and gstep % val_every == 0 and val_loader is not None:
+                    _validate(trainer, state, val_loader, metrics, gstep)
+                if gstep >= max_steps:
+                    break
+            epoch += 1
+    except Exception:
+        melk()
+        raise
     metrics.close()
     print("[train] done")
 
