@@ -38,19 +38,28 @@ def main():
         np.random.RandomState(0).randn(B, 3, T, H, W).astype(np.float32) * 0.5)
 
     fn = tok._full_forward_fn(sample=False)
-    step = jax.jit(fn)
+    # Serve with bf16 weights at rest (halves HBM weight traffic); the
+    # compute path is bf16 with fp32 norm/epilogue stats regardless.
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16)
+                                    if p.dtype == jnp.float32 else p,
+                                    tok.params)
     rng = jax.random.PRNGKey(0)
 
+    @jax.jit
+    def step(params, x, rng):
+        z, dec, log = fn(params, x, rng)
+        # scalar outputs: device-side sync point (block_until_ready does not
+        # actually block on the axon platform; materializing a scalar does)
+        return jnp.sum(dec), jnp.sum(z)
+
     # warmup / compile
-    out = step(tok.params, x, rng)
-    jax.block_until_ready(out)
+    float(step(params, x, rng)[0])
 
     iters = 20
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = step(tok.params, x, rng)
-        jax.block_until_ready(out)
+        float(step(params, x, rng)[0])
         times.append(time.perf_counter() - t0)
 
     med = float(np.median(times))

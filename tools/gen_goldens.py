@@ -250,6 +250,37 @@ def gen_metrics():
     ))
 
 
+def gen_discriminators():
+    from vidtok.modules import discriminator as refdisc
+
+    torch.manual_seed(13)
+    d2 = refdisc.NLayerDiscriminator(input_nc=3, n_layers=3,
+                                     use_actnorm=False).apply(
+        refdisc.weights_init).eval()
+    # randomize BN running stats so eval-mode parity is a real test
+    with torch.no_grad():
+        for m in d2.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape,
+                                                 generator=torch.Generator().manual_seed(5)) * 0.1)
+                m.running_var.copy_(1 + 0.1 * torch.rand(m.running_var.shape,
+                                                         generator=torch.Generator().manual_seed(6)))
+    x2 = randn(2, 3, 64, 64, seed=14)
+    with torch.no_grad():
+        y2 = d2(x2)
+    d3 = refdisc.NLayerDiscriminator3D(input_nc=3, n_layers=3,
+                                       use_actnorm=False).apply(
+        refdisc.weights_init).eval()
+    x3 = randn(1, 3, 8, 64, 64, seed=15)
+    with torch.no_grad():
+        y3 = d3(x3)
+    sd = {f"loss.discriminator.{k}": v for k, v in d2.state_dict().items()}
+    sd.update({f"loss.discriminator3d.{k}": v
+               for k, v in d3.state_dict().items()})
+    save("discriminators", sd, dict(x2=x2.numpy(), y2=y2.numpy(),
+                                    x3=x3.numpy(), y3=y3.numpy()))
+
+
 def _install_vidtwin_stubs():
     """timm / omegaconf / losses stubs so the reference vidtwin modules
     import without their GPU-era deps."""
@@ -417,6 +448,7 @@ def main():
     gen_v11_tiled()
     gen_metrics()
     gen_vidtwin()
+    gen_discriminators()
     print("done")
 
 

@@ -155,6 +155,53 @@ def validate_params(converted: dict, reference: dict, path=""):
     return missing, unexpected, mismatched
 
 
+_DISC_SEQ_NAMES = {0: "conv0", 2: "conv1", 3: "norm1", 5: "conv2",
+                   6: "norm2", 8: "conv3", 9: "norm3", 11: "conv_out"}
+
+
+def convert_discriminator_state_dict(sd: Dict[str, np.ndarray],
+                                     prefix: str = "loss.discriminator."):
+    """torch NLayerDiscriminator(3D) Sequential -> (params, batch_stats).
+
+    Reference discriminator.py:88-201: main.{i} indices map per
+    ``_DISC_SEQ_NAMES`` (conv/BN interleaved with parameter-free LeakyReLU).
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, name, leaf, arr):
+        tree.setdefault(name, {})[leaf] = np.asarray(arr)
+
+    for key, arr in sd.items():
+        if not key.startswith(prefix):
+            continue
+        tokens = key[len(prefix):].split(".")
+        if tokens[0] != "main":
+            continue
+        name = _DISC_SEQ_NAMES[int(tokens[1])]
+        leaf = tokens[2]
+        arr = np.asarray(arr)
+        if name.startswith("conv"):
+            if leaf == "weight":
+                if arr.ndim == 4:  # Conv2d OIHW -> HWIO
+                    put(params, name, "kernel", np.transpose(arr, (2, 3, 1, 0)))
+                else:  # Conv3d OIDHW -> DHWIO
+                    put(params, name, "kernel",
+                        np.transpose(arr, (2, 3, 4, 1, 0)))
+            else:
+                put(params, name, "bias", arr)
+        else:  # BatchNorm
+            if leaf == "weight":
+                put(params, name, "scale", arr)
+            elif leaf == "bias":
+                put(params, name, "bias", arr)
+            elif leaf == "running_mean":
+                put(stats, name, "mean", arr)
+            elif leaf == "running_var":
+                put(stats, name, "var", arr)
+    return params, stats
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     if path.endswith("safetensors"):
         from safetensors.numpy import load_file
