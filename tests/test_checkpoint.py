@@ -1,0 +1,97 @@
+"""Checkpoint IO tests: native params npz round trip, orbax train-state
+round trip, and config corpus translation."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_params_npz_roundtrip(tmp_path):
+    from vidtok_tpu.utils.checkpoint import load_params, save_params
+
+    params = {"encoder": {"conv_in": {"kernel": jnp.ones((3, 3, 3, 3, 8)),
+                                      "bias": jnp.zeros((8,))}},
+              "logvar": jnp.float32(0.5)}
+    path = str(tmp_path / "p.npz")
+    save_params(path, params)
+    loaded = load_params(path)
+    np.testing.assert_array_equal(loaded["encoder"]["conv_in"]["kernel"],
+                                  params["encoder"]["conv_in"]["kernel"])
+    assert float(loaded["logvar"]) == 0.5
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    from vidtok_tpu.train.state import TrainState, make_optimizer
+    from vidtok_tpu.utils.checkpoint import (latest_checkpoint,
+                                             restore_train_state,
+                                             save_train_state)
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    opt = make_optimizer(1e-3)
+    state = TrainState(
+        step=jnp.int32(7), params_g=params, params_d=params,
+        batch_stats_d={}, opt_state_g=opt.init(params),
+        opt_state_d=opt.init(params), lecam_ema_real=jnp.float32(0.1),
+        lecam_ema_fake=jnp.float32(-0.1), ema_params=None)
+    ckdir = str(tmp_path / "ck")
+    save_train_state(ckdir, state, 7)
+    path, step = latest_checkpoint(ckdir)
+    assert step == 7
+    restored = restore_train_state(path, jax.device_get(state))
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.params_g["w"]),
+                                  np.asarray(params["w"]))
+    assert float(restored.lecam_ema_real) == pytest.approx(0.1)
+
+
+def test_checkpoint_pruning(tmp_path):
+    from vidtok_tpu.train.state import TrainState, make_optimizer
+    from vidtok_tpu.utils.checkpoint import (all_checkpoint_steps,
+                                             save_train_state)
+
+    params = {"w": jnp.zeros((2,))}
+    opt = make_optimizer(1e-3)
+    state = TrainState(
+        step=jnp.int32(0), params_g=params, params_d=params,
+        batch_stats_d={}, opt_state_g=opt.init(params),
+        opt_state_d=opt.init(params), lecam_ema_real=jnp.float32(0),
+        lecam_ema_fake=jnp.float32(0), ema_params=None)
+    ckdir = str(tmp_path / "ck")
+    for s in (1, 2, 3, 4, 5):
+        save_train_state(ckdir, state, s, keep=3)
+    assert sorted(all_checkpoint_steps(ckdir)) == [3, 4, 5]
+
+
+def test_all_configs_translate():
+    """Every shipped config builds a core + trainer-visible loss config."""
+    from vidtok_tpu.config import load_config
+    from vidtok_tpu.models.autoencoder import build_core_from_config
+    from vidtok_tpu.train.losses import LossConfig
+
+    cfgs = sorted(glob.glob(os.path.join(ROOT, "configs", "**", "*.yaml"),
+                            recursive=True))
+    assert len(cfgs) >= 23
+    for path in cfgs:
+        cfg = load_config(path)
+        core, meta = build_core_from_config(cfg["model"])
+        assert core.encoder.ch == 128
+        lc = LossConfig.from_dict(
+            cfg["model"]["params"]["loss_config"]["params"])
+        assert lc.disc_start == 20001
+        if "fsq" in os.path.basename(path):
+            assert meta["discrete"]
+        if "v1_1" in os.path.basename(path):
+            assert meta["variant"] == "causal_v1_1"
+            assert core.decoder.interpolation_mode == "trilinear"
+        if "noncausal" in os.path.basename(path):
+            assert not meta["is_causal"]
+        if "_288_" in os.path.basename(path):
+            assert meta["time_downsample_factor"] == 2
+        if "_888_" in os.path.basename(path):
+            assert meta["time_downsample_factor"] == 8
