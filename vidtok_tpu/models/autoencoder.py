@@ -533,7 +533,16 @@ class VideoTokenizer:
         assert rem == 0, f"T'={t} not 1 + k*{self.t_chunk_dec}"
         return self._scan_decode_fn(k, self.use_overlap)(self.params, z)
 
+    def _check_tiling_supported(self):
+        if self.meta.get("variant") == "causal":
+            raise ValueError(
+                "tiled/streaming inference requires a v1.1 model "
+                "(causal_v1_1); the v1.0 decoder crops warmup frames per "
+                "call, which breaks chunk stitching (reference only "
+                "implements tiling in autoencoder_v1_1.py)")
+
     def _tile_encode(self, x, sample=False):
+        self._check_tiling_supported()
         b, c, t, h, w = x.shape
         start_end = self.build_chunk_start_end(t)
         first_fn = step_fn = None
