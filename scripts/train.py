@@ -167,12 +167,30 @@ def main():
 
 
 def _validate(trainer, state, val_loader, metrics, gstep, max_batches=8):
+    """Validation PSNR/SSIM on training weights, plus the EMA weights when
+    present (reference ema_scope validation, autoencoder.py:300-341)."""
+    import jax
+
+    variants = {"": jax.device_get(state.params_g)["core"]}
+    if state.ema_params is not None:
+        variants["_ema"] = jax.device_get(state.ema_params[0])["core"]
+
+    for postfix, params in variants.items():
+        psnr, ssim = _eval_params(trainer, params, val_loader, max_batches)
+        if psnr is None:
+            continue
+        metrics.log_scalars(gstep, {f"val{postfix}/psnr": psnr,
+                                    f"val{postfix}/ssim": ssim})
+        print(f"[val{postfix}] step {gstep}: PSNR {psnr:.3f} "
+              f"SSIM {ssim:.4f}")
+
+
+def _eval_params(trainer, params, val_loader, max_batches):
     import jax
     import jax.numpy as jnp
 
     from vidtok_tpu.ops.metrics import compute_psnr, compute_ssim
 
-    params = jax.device_get(state.params_g)["core"]
     psnrs, ssims = [], []
     for i, batch in enumerate(val_loader.epoch(0)):
         if i >= max_batches:
@@ -192,11 +210,9 @@ def _validate(trainer, state, val_loader, metrics, gstep, max_batches=8):
         b = np.transpose(b, (0, 4, 1, 2, 3))
         psnrs.append(float(compute_psnr(a, b)))
         ssims.append(float(compute_ssim(a, b)))
-    if psnrs:
-        metrics.log_scalars(gstep, {"val/psnr": np.mean(psnrs),
-                                    "val/ssim": np.mean(ssims)})
-        print(f"[val] step {gstep}: PSNR {np.mean(psnrs):.3f} "
-              f"SSIM {np.mean(ssims):.4f}")
+    if not psnrs:
+        return None, None
+    return float(np.mean(psnrs)), float(np.mean(ssims))
 
 
 if __name__ == "__main__":
