@@ -138,21 +138,30 @@ class Decoder(nn.Module):
 
         # v1.1 trilinear upsample: num_temp_upsample doubles per temporal
         # upsample encountered in decode order (model_3dcausal_v1_1.py:856-881)
+        remat_on = self.use_checkpoint and not streaming
+        if remat_on:
+            assert self.dropout == 0.0, "use_checkpoint requires dropout=0"
+        sp_cls = nn.remat(ResnetBlockSpatial) if remat_on else ResnetBlockSpatial
+        tm_cls = nn.remat(ResnetBlockTemporal) if remat_on else ResnetBlockTemporal
+
+        def call(mod, h, off):
+            if remat_on:
+                return mod(h)
+            return mod(h, deterministic=deterministic, **stream(off))
+
         ntu = 1
         for i_level in reversed(range(n)):
             block_out = self.ch * self.ch_mult[i_level]
             off = level_offs[i_level]
             for i_block in range(self.num_res_blocks + 1):
-                h = ResnetBlockSpatial(
+                h = call(sp_cls(
                     block_out, norm_type=self.norm_type, dropout=self.dropout,
-                    name=f"up_{i_level}_block_{i_block}",
-                )(h, deterministic=deterministic)
-                h = ResnetBlockTemporal(
+                    name=f"up_{i_level}_block_{i_block}"), h, off)
+                h = call(tm_cls(
                     block_out, causal=causal, norm_type=self.norm_type,
                     dropout=self.dropout, first_pad_mode=self.first_pad_mode,
                     cache_offset=off,
-                    name=f"up_temporal_{i_level}_block_{i_block}",
-                )(h, deterministic=deterministic, **stream(off))
+                    name=f"up_temporal_{i_level}_block_{i_block}"), h, off)
             if i_level in spatial_us:
                 h = SpatialUpsample(name=f"up_{i_level}_upsample")(h)
                 if i_level in tempo_us:

@@ -113,6 +113,21 @@ class Encoder(nn.Module):
         if not streaming:
             x = self.pad_input(x)
 
+        # activation checkpointing: remat each residual block (reference
+        # use_checkpoint flag, util.py:89-143). Only on the non-streaming
+        # path (caches are incompatible with remat) and dropout==0 (remat'd
+        # calls run with default flags).
+        remat_on = self.use_checkpoint and not streaming
+        if remat_on:
+            assert self.dropout == 0.0, "use_checkpoint requires dropout=0"
+        sp_cls = nn.remat(ResnetBlockSpatial) if remat_on else ResnetBlockSpatial
+        tm_cls = nn.remat(ResnetBlockTemporal) if remat_on else ResnetBlockTemporal
+
+        def call(mod, h):
+            if remat_on:
+                return mod(h)
+            return mod(h, deterministic=deterministic, **stream)
+
         if causal:
             h = CausalConv3d(self.ch, (3, 3, 3), first_pad_mode=self.first_pad_mode,
                              name="conv_in")(x, **stream)
@@ -122,15 +137,13 @@ class Encoder(nn.Module):
         for i_level in range(n):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
-                h = ResnetBlockSpatial(
+                h = call(sp_cls(
                     block_out, norm_type=self.norm_type, dropout=self.dropout,
-                    name=f"down_{i_level}_block_{i_block}",
-                )(h, deterministic=deterministic)
-                h = ResnetBlockTemporal(
+                    name=f"down_{i_level}_block_{i_block}"), h)
+                h = call(tm_cls(
                     block_out, causal=causal, norm_type=self.norm_type,
                     dropout=self.dropout, first_pad_mode=self.first_pad_mode,
-                    name=f"down_temporal_{i_level}_block_{i_block}",
-                )(h, deterministic=deterministic, **stream)
+                    name=f"down_temporal_{i_level}_block_{i_block}"), h)
             if i_level in spatial_ds:
                 h = SpatialDownsample(name=f"down_{i_level}_downsample")(h)
                 if i_level in tempo_ds:
