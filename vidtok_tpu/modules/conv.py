@@ -42,12 +42,68 @@ def _triple(v) -> Tuple[int, int, int]:
     return t
 
 
+# Conv implementation selector. 'direct' lowers one 3D conv through XLA;
+# 'decomposed' rewrites every 3D conv as a sum of kT time-shifted 2D convs
+# on a (B*T, H, W, C) fold — mathematically identical, and often a much
+# better fit for the TPU conv pipeline (2D NHWC convs are the optimized
+# path; the T axis becomes pure batch). Switch globally with
+# set_conv_impl() or VIDTOK_CONV_IMPL=decomposed.
+import os as _os
+
+_CONV_IMPL = _os.environ.get("VIDTOK_CONV_IMPL", "direct")
+
+
+def set_conv_impl(impl: str):
+    global _CONV_IMPL
+    assert impl in ("direct", "decomposed"), impl
+    _CONV_IMPL = impl
+
+
+def get_conv_impl() -> str:
+    return _CONV_IMPL
+
+
+def _conv2d_frames(x, kernel2d, stride_hw, padding_hw):
+    """[B,T,H,W,C] per-frame 2D conv with [kh,kw,I,O] kernel."""
+    b, t = x.shape[:2]
+    xf = x.reshape((b * t,) + x.shape[2:])
+    dn = lax.conv_dimension_numbers(xf.shape, kernel2d.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(xf, kernel2d, stride_hw, padding_hw,
+                                 dimension_numbers=dn)
+    return y.reshape((b, t) + y.shape[1:])
+
+
 def conv3d(x, kernel, bias=None, stride=(1, 1, 1), padding="VALID"):
-    """NTHWC x DHWIO -> NTHWC convolution."""
+    """NTHWC x DHWIO -> NTHWC convolution (implementation per conv-impl
+    switch; both paths are exactly equivalent)."""
+    kt = kernel.shape[0]
+    st = stride[0]
+    kernel = kernel.astype(x.dtype)
+
+    if _CONV_IMPL == "decomposed" and padding != "VALID":
+        tpad = padding[0]
+        if tpad != (0, 0):
+            zeros_front = jnp.zeros((x.shape[0], tpad[0]) + x.shape[2:], x.dtype)
+            zeros_back = jnp.zeros((x.shape[0], tpad[1]) + x.shape[2:], x.dtype)
+            x = jnp.concatenate([zeros_front, x, zeros_back], axis=1)
+        t_in = x.shape[1]
+        t_out = (t_in - kt) // st + 1
+        pad_hw = [tuple(padding[1]), tuple(padding[2])]
+        y = None
+        for j in range(kt):
+            xs = lax.slice_in_dim(x, j, j + (t_out - 1) * st + 1, stride=st,
+                                  axis=1)
+            yj = _conv2d_frames(xs, kernel[j], (stride[1], stride[2]), pad_hw)
+            y = yj if y is None else y + yj
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
     y = lax.conv_general_dilated(
         x,
-        kernel.astype(x.dtype),
+        kernel,
         window_strides=stride,
         padding=padding,
         dimension_numbers=dn,
