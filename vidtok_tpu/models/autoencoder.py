@@ -147,26 +147,30 @@ class TokenizerCore(nn.Module):
     decoder: Decoder
     regularizer: nn.Module
 
-    def encode_raw(self, x, *, streaming=False, first_chunk=True, deterministic=True):
+    def encode_raw(self, x, *, streaming=False, first_chunk=True,
+                   deterministic=True, fused=False):
         return self.encoder(
-            x, streaming=streaming, first_chunk=first_chunk, deterministic=deterministic
+            x, streaming=streaming, first_chunk=first_chunk,
+            deterministic=deterministic, fused=fused,
         )
 
     def regularize(self, zp, *, n_steps=0, sample_override=None):
         return self.regularizer(zp, n_steps=n_steps, sample_override=sample_override)
 
     def encode(self, x, *, streaming=False, first_chunk=True, deterministic=True,
-               n_steps=0, sample_override=None):
+               n_steps=0, sample_override=None, fused=False):
         zp = self.encode_raw(
-            x, streaming=streaming, first_chunk=first_chunk, deterministic=deterministic
+            x, streaming=streaming, first_chunk=first_chunk,
+            deterministic=deterministic, fused=fused,
         )
         return self.regularize(zp, n_steps=n_steps, sample_override=sample_override)
 
     def decode(self, z, *, streaming=False, first_chunk=True, deterministic=True,
-               use_cache_offset=False):
+               use_cache_offset=False, fused=False):
         return self.decoder(
             z, streaming=streaming, first_chunk=first_chunk,
             deterministic=deterministic, use_cache_offset=use_cache_offset,
+            fused=fused,
         )
 
     def decode_indices(self, indices):
@@ -186,12 +190,13 @@ class TokenizerCore(nn.Module):
             dec = dec[:, -x.shape[1]:]
         return z, dec, pre, reg_log
 
-    def __call__(self, x, *, deterministic=True, n_steps=0, sample_override=None):
+    def __call__(self, x, *, deterministic=True, n_steps=0, sample_override=None,
+                 fused=False):
         z, reg_log = self.encode(
             x, deterministic=deterministic, n_steps=n_steps,
-            sample_override=sample_override,
+            sample_override=sample_override, fused=fused,
         )
-        dec = self.decode(z, deterministic=deterministic)
+        dec = self.decode(z, deterministic=deterministic, fused=fused)
         # v1.1 decodes tdf*T' frames; crop to input length
         # (reference autoencoder_v1_1.py:340-342)
         if dec.shape[1] != x.shape[1]:
@@ -271,11 +276,11 @@ class VideoTokenizer:
             self._jit_cache[key] = jax.jit(fn, static_argnames=())
         return self._jit_cache[key]
 
-    def _full_forward_fn(self, sample: bool):
+    def _full_forward_fn(self, sample: bool, fused: bool = False):
         def fn(params, x, rng):
             xt = _to_nthwc(x).astype(self.compute_dtype)
             z, dec, log = self.core.apply(
-                {"params": params}, xt, sample_override=sample,
+                {"params": params}, xt, sample_override=sample, fused=fused,
                 rngs={"sample": rng},
             )
             return (

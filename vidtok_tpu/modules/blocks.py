@@ -42,8 +42,19 @@ class ResnetBlockSpatial(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True, **_):
+    def __call__(self, x, *, deterministic: bool = True, fused: bool = False,
+                 **_):
         in_ch = x.shape[-1]
+        if (fused and not self.is_initializing()
+                and self.norm_type == "layernorm" and self.dropout == 0.0):
+            # Pallas fused path (inference): one VMEM-resident pass
+            from ..ops.pallas.fused_resblock import fused_spatial_resblock
+
+            p = self.variables["params"]
+            b, t = x.shape[:2]
+            y = fused_spatial_resblock(
+                x.reshape((b * t,) + x.shape[2:]), p)
+            return y.reshape((b, t) + y.shape[1:])
         h = _named_norm(self.norm_type, "frame", "norm1")(x)
         h = silu(h)
         h = SpatialConv(self.out_channels, 3, name="conv1")(h)
@@ -75,7 +86,7 @@ class ResnetBlockTemporal(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, streaming: bool = False,
-                 first_chunk: bool = True, use_cache_offset: bool = False):
+                 first_chunk: bool = True, use_cache_offset: bool = False, **_):
         in_ch = x.shape[-1]
         stream = dict(streaming=streaming, first_chunk=first_chunk,
                       use_cache_offset=use_cache_offset)
@@ -123,7 +134,7 @@ class ResnetBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, streaming: bool = False,
-                 first_chunk: bool = True, use_cache_offset: bool = False):
+                 first_chunk: bool = True, use_cache_offset: bool = False, **_):
         in_ch = x.shape[-1]
         stream = dict(streaming=streaming, first_chunk=first_chunk,
                       use_cache_offset=use_cache_offset)

@@ -190,7 +190,7 @@ class CausalConv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, streaming: bool = False, first_chunk: bool = True,
-                 use_cache_offset: bool = False):
+                 use_cache_offset: bool = False, **_):
         kt, kh, kw = _triple(self.kernel)
         st, sh, sw = _triple(self.stride)
         time_pad = (kt - 1) + (1 - st)
@@ -245,7 +245,7 @@ class CausalConv1d(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, streaming: bool = False, first_chunk: bool = True,
-                 use_cache_offset: bool = False):
+                 use_cache_offset: bool = False, **_):
         k = self.kernel_size
         time_pad = (k - 1) + (1 - self.stride)
         cin = x.shape[-1]

@@ -100,7 +100,7 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z, *, streaming: bool = False, first_chunk: bool = True,
                  deterministic: bool = True, use_cache_offset: bool = False,
-                 return_features: bool = False):
+                 return_features: bool = False, fused: bool = False):
         """z: [B, T', H', W', Cz] -> x: [B, T, H, W, out_ch].
 
         ``return_features=True`` additionally returns the pre-conv_out
@@ -115,7 +115,7 @@ class Decoder(nn.Module):
 
         def stream(offset):
             return dict(streaming=streaming, first_chunk=first_chunk,
-                        use_cache_offset=use_cache_offset)
+                        use_cache_offset=use_cache_offset, fused=fused)
 
         block_in = self.ch * self.ch_mult[n - 1]
         if causal:

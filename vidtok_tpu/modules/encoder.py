@@ -102,9 +102,13 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, streaming: bool = False, first_chunk: bool = True,
-                 deterministic: bool = True):
-        """x: [B, T, H, W, C] -> z-params: [B, T', H', W', Cz]."""
-        stream = dict(streaming=streaming, first_chunk=first_chunk)
+                 deterministic: bool = True, fused: bool = False):
+        """x: [B, T, H, W, C] -> z-params: [B, T', H', W', Cz].
+
+        ``fused=True`` routes spatial resblocks through the Pallas fused
+        kernel (inference fast path)."""
+        stream = dict(streaming=streaming, first_chunk=first_chunk,
+                      fused=fused)
         causal = self.causal
         n = len(self.ch_mult)
         spatial_ds = self._spatial_ds()
