@@ -47,9 +47,8 @@ def _conv3x3(act, w, th_out, width):
     acc = jnp.zeros((th_out * width, cout), jnp.float32)
     for dr in range(3):
         for dw in range(3):
-            a = jax.lax.dynamic_slice(
-                act, (dr, dw, 0), (th_out, width, cin)
-            ).reshape(th_out * width, cin)
+            a = act[dr:dr + th_out, dw:dw + width, :].reshape(
+                th_out * width, cin)
             acc = acc + jnp.dot(a, w[dr, dw],
                                 preferred_element_type=jnp.float32)
     return acc.reshape(th_out, width, cout)
@@ -70,7 +69,7 @@ def _kernel(x_hbm, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2, ws, bs,
     dtype = x.dtype
     cin = x.shape[-1]
 
-    res = jax.lax.dynamic_slice(x, (2, 1, 0), (tile_h, width, cin))
+    res = x[2:2 + tile_h, 1:1 + width, :]
 
     # LN1+SiLU over the haloed tile. Conv zero-padding applies AFTER the
     # activation in the unfused graph, so halo positions that fall outside
