@@ -211,17 +211,79 @@ class SpatialDownsample(nn.Module):
 
 class SpatialUpsample(nn.Module):
     """Per-frame 2x nearest upsample + 3x3 conv (reference Upsample,
-    model_3dcausal.py:200-212)."""
+    model_3dcausal.py:200-212).
+
+    Implemented by subpixel decomposition: because the upsample duplicates
+    each pixel 2x2, the 3x3 conv over the upsampled grid is EXACTLY four
+    2x2 convs over the original grid (kernel taps grouped by source pixel),
+    interleaved by output parity — 2.25x fewer MACs and no 4x-sized
+    intermediate tensor. ``subpixel=False`` keeps the naive path (used to
+    verify equality in tests)."""
 
     with_conv: bool = True
+    subpixel: bool = True
 
     @nn.compact
     def __call__(self, x, **_):
-        x = spatial_nearest_up2x(x)
-        if self.with_conv:
-            c = x.shape[-1]
-            x = SpatialConv(c, 3, name="conv")(x)
-        return x
+        if not self.with_conv:
+            return spatial_nearest_up2x(x)
+        c = x.shape[-1]
+        if not self.subpixel:
+            x = spatial_nearest_up2x(x)
+            return SpatialConv(c, 3, name="conv")(x)
+
+        conv = SpatialConv(c, 3, name="conv")
+        if self.is_initializing():
+            # create params with the naive path once (same tree)
+            return conv(spatial_nearest_up2x(x))
+        k = self.variables["params"]["conv"]["kernel"][0]  # [3,3,C,C]
+        bias = self.variables["params"]["conv"]["bias"]
+        return _subpixel_up2x_conv3x3(x, k, bias)
+
+
+def _subpixel_up2x_conv3x3(x, k, bias):
+    """Exact nearest-2x-upsample + 3x3 conv via four parity convs.
+
+    x: [B,T,H,W,C]; k: [3,3,Cin,Cout]. Output row 2a+p reads upsampled rows
+    2a+p-1..2a+p+1, i.e. source rows {a-1,a} (p=0) or {a,a+1} (p=1) with tap
+    weights grouped accordingly; columns likewise."""
+    from jax import lax
+
+    dtype = x.dtype
+    k = k.astype(dtype)
+    # row-combined kernels: [2, 3, Ci, Co]
+    r0 = jnp.stack([k[0], k[1] + k[2]])          # parity 0: rows a-1, a
+    r1 = jnp.stack([k[0] + k[1], k[2]])          # parity 1: rows a, a+1
+    # column-combine each: [2, 2, Ci, Co]
+    def colmix(kr):
+        return jnp.stack([kr[:, 0], kr[:, 1] + kr[:, 2]], axis=1), \
+               jnp.stack([kr[:, 0] + kr[:, 1], kr[:, 2]], axis=1)
+
+    e00, e01 = colmix(r0)
+    e10, e11 = colmix(r1)
+
+    b, t, h, w, cin = x.shape
+    xf = x.reshape(b * t, h, w, cin)
+
+    def conv2(xp, kern, pad_r, pad_c):
+        dn = lax.conv_dimension_numbers(xf.shape, kern.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(xp, kern, (1, 1), [pad_r, pad_c],
+                                        dimension_numbers=dn)
+
+    # parity (pr, pc): source window rows start at a-1 (pr=0, pad top) or a
+    # (pr=1, pad bottom); same for columns
+    y00 = conv2(xf, e00, (1, 0), (1, 0))
+    y01 = conv2(xf, e01, (1, 0), (0, 1))
+    y10 = conv2(xf, e10, (0, 1), (1, 0))
+    y11 = conv2(xf, e11, (0, 1), (0, 1))
+    cout = y00.shape[-1]
+    # interleave: y[2a+pr, 2b+pc] = y_{pr pc}[a, b]
+    rows = jnp.stack([jnp.stack([y00, y01], axis=3),
+                      jnp.stack([y10, y11], axis=3)], axis=2)
+    # rows: [N, H, 2(pr), W, 2(pc), C]
+    y = rows.reshape(b * t, 2 * h, 2 * w, cout) + bias.astype(dtype)
+    return y.reshape(b, t, 2 * h, 2 * w, cout)
 
 
 class TimeDownsampleRes2x(nn.Module):
