@@ -1,0 +1,61 @@
+"""Fast-path equivalence: Pallas fused resblocks, subpixel upsample-conv,
+and decomposed convs must match the baseline graph exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vidtok_tpu.modules.conv as conv_mod
+from vidtok_tpu.models.autoencoder import TokenizerCore, build_core_from_config
+
+_P = {
+    "double_z": True, "z_channels": 4, "in_channels": 3, "out_ch": 3,
+    "ch": 32, "ch_mult": [1, 2], "time_downsample_factor": 2,
+    "num_res_blocks": 1, "norm_type": "layernorm",
+    "interpolation_mode": "trilinear", "tempo_ds": [0], "tempo_us": [1]}
+CFG = {"params": {
+    "encoder_config": {"target": "EncoderCausal3DV1_1", "params": dict(_P)},
+    "decoder_config": {"target": "DecoderCausal3DV1_1", "params": dict(_P)},
+    "regularizer_config": {"target": "DiagonalGaussianRegularizer"},
+}}
+
+
+@pytest.fixture(scope="module")
+def model():
+    core, meta = build_core_from_config(CFG)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 4, 32, 32, 3).astype("float32"))
+    variables = core.init({"params": jax.random.PRNGKey(0),
+                           "sample": jax.random.PRNGKey(0)}, x,
+                          sample_override=False)
+    return core, variables["params"], x
+
+
+def test_fused_pallas_path_matches(model):
+    core, params, x = model
+    zp1 = core.apply({"params": params}, x, method=TokenizerCore.encode_raw)
+    zp2 = core.apply({"params": params}, x, fused=True,
+                     method=TokenizerCore.encode_raw)
+    np.testing.assert_allclose(np.asarray(zp1), np.asarray(zp2), atol=2e-5)
+
+    z = zp1[..., :4]
+    d1 = core.apply({"params": params}, z, method=TokenizerCore.decode)
+    d2 = core.apply({"params": params}, z, fused=True,
+                    method=TokenizerCore.decode)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-5)
+
+
+def test_conv_impls_match(model):
+    core, params, x = model
+    impl = conv_mod.get_conv_impl()
+    try:
+        conv_mod.set_conv_impl("direct")
+        zp1 = core.apply({"params": params}, x,
+                         method=TokenizerCore.encode_raw)
+        conv_mod.set_conv_impl("decomposed")
+        zp2 = core.apply({"params": params}, x,
+                         method=TokenizerCore.encode_raw)
+    finally:
+        conv_mod.set_conv_impl(impl)
+    np.testing.assert_allclose(np.asarray(zp1), np.asarray(zp2), atol=2e-5)
