@@ -77,6 +77,9 @@ ENCDEC_CASES = [
           time_downsample_factor=8), 9),
     ("fsq_model", "EncoderCausal3D", "DecoderCausal3D",
      dict(double_z=False, z_channels=6), 5),
+    ("causal_v1_444", "EncoderCausal3D", "DecoderCausal3D",
+     dict(ch_mult=[1, 2, 2], spatial_ds=[1], spatial_us=[1], tempo_ds=[1],
+          tempo_us=[1], time_downsample_factor=2), 5),
 ]
 
 

@@ -444,6 +444,12 @@ def main():
     gen_encdec("fsq_model", m1.EncoderCausal3DPadding,
                m1.DecoderCausal3DPadding,
                small_cfg(double_z=False, z_channels=6))
+    # 444-style: spatial downsample restricted to a level subset
+    gen_encdec("causal_v1_444", m1.EncoderCausal3DPadding,
+               m1.DecoderCausal3DPadding,
+               small_cfg(ch_mult=[1, 2, 2], spatial_ds=[1], spatial_us=[1],
+                         tempo_ds=[1], tempo_us=[1],
+                         time_downsample_factor=2))
     gen_fsq()
     gen_v11_tiled()
     gen_metrics()
