@@ -95,3 +95,28 @@ def test_all_configs_translate():
             assert meta["time_downsample_factor"] == 2
         if "_888_" in os.path.basename(path):
             assert meta["time_downsample_factor"] == 8
+
+
+def test_torch_ckpt_end_to_end(tmp_path):
+    """Saving a torch-style .ckpt and loading it through the public API
+    reproduces golden outputs (the released-HF-checkpoint path)."""
+    import torch
+
+    from tests.golden_utils import load_golden
+    from tests.test_parity import small_cfg
+    from vidtok_tpu import load_model_from_config
+
+    sd, arrays = load_golden("causal_v1_kl")
+    state = {k: torch.tensor(v) for k, v in sd.items()}
+    path = str(tmp_path / "model.ckpt")
+    torch.save({"state_dict": state}, path)
+
+    cfg = {"model": {"params": {
+        "encoder_config": {"target": "EncoderCausal3D", "params": small_cfg()},
+        "decoder_config": {"target": "DecoderCausal3D", "params": small_cfg()},
+        "regularizer_config": {"target": "DiagonalGaussianRegularizer"},
+        "ignore_keys": []}}}
+    tok = load_model_from_config(cfg, ckpt=path)
+    z, dec, log = tok(jnp.asarray(arrays["x"]))
+    np.testing.assert_allclose(np.asarray(dec), arrays["dec"], atol=2e-4,
+                               rtol=2e-3)

@@ -253,7 +253,10 @@ class VideoTokenizer:
         if ckpt:
             from ..utils.checkpoint import load_params
 
-            params = load_params(ckpt, core, meta)
+            params = load_params(
+                ckpt, core, meta,
+                ignore_keys=tuple((model_cfg.get("params", {}) or {})
+                                  .get("ignore_keys", ()) or ()))
         else:
             t, h, w = init_shape[1], init_shape[2], init_shape[3]
             x = jnp.zeros((init_shape[0], t, h, w, core.encoder.in_channels),

@@ -216,8 +216,13 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             for k, v in sd.items()}
 
 
-def load_params(path: str, core=None, meta=None, verbose: bool = True):
-    """Load params from a native .npz/.msgpack or a torch .ckpt/.safetensors."""
+def load_params(path: str, core=None, meta=None, verbose: bool = True,
+                ignore_keys=()):
+    """Load params from a native .npz/.msgpack or a torch .ckpt/.safetensors.
+
+    ``ignore_keys``: regex patterns matched (re.match) against torch
+    state_dict keys to drop before conversion (reference init_from_ckpt,
+    autoencoder.py:146-176)."""
     if path.endswith(".npz"):
         flat = dict(np.load(path, allow_pickle=False))
         return unflatten_params(flat)
@@ -227,9 +232,34 @@ def load_params(path: str, core=None, meta=None, verbose: bool = True):
         with open(path, "rb") as f:
             return serialization.msgpack_restore(f.read())
     sd = load_torch_state_dict(path)
+    if ignore_keys:
+        pats = [re.compile(p) for p in ignore_keys]
+        dropped = [k for k in sd if any(p.match(k) for p in pats)]
+        for k in dropped:
+            del sd[k]
+        if verbose and dropped:
+            print(f"[checkpoint] deleted {len(dropped)} keys matching "
+                  f"ignore_keys (first: {dropped[0]})")
     params = convert_torch_state_dict(sd)
     if core is not None and verbose:
-        pass  # validation is done by callers/tests with an initialized tree
+        try:
+            import jax as _jax
+
+            x = jnp.zeros((1, 5, 32, 32, core.encoder.in_channels))
+            ref = core.init({"params": _jax.random.PRNGKey(0),
+                             "sample": _jax.random.PRNGKey(0)}, x,
+                            sample_override=False)["params"]
+            missing, unexpected, mismatched = validate_params(params, ref)
+            print(f"[checkpoint] restored from {path} with {len(missing)} "
+                  f"missing and {len(unexpected)} unexpected keys")
+            for name, items in (("missing", missing),
+                                ("unexpected", unexpected),
+                                ("mismatched", mismatched)):
+                if items:
+                    print(f"[checkpoint] {name}: {items[:8]}"
+                          f"{' ...' if len(items) > 8 else ''}")
+        except Exception:
+            pass
     return jax.tree_util.tree_map(jnp.asarray, params)
 
 
