@@ -75,18 +75,19 @@ def _kernel(x_hbm, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2, ws, bs,
     # activation in the unfused graph, so halo positions that fall outside
     # the true frame must be zeroed (LN+SiLU of a zero row is silu(bias)!=0).
     a1 = _ln_silu(x, ln1_s[:], ln1_b[:]).astype(dtype)
-    rows1 = jax.lax.broadcasted_iota(jnp.int32, a1.shape[:2], 0) + row0 - 2
-    cols1 = jax.lax.broadcasted_iota(jnp.int32, a1.shape[:2], 1)
+    # 3D iotas: Mosaic cannot insert a minor dim on i1 vectors
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, a1.shape, 0) + row0 - 2
+    cols1 = jax.lax.broadcasted_iota(jnp.int32, a1.shape, 1)
     valid1 = ((rows1 >= 0) & (rows1 < height)
               & (cols1 >= 1) & (cols1 <= width))
-    a1 = jnp.where(valid1[:, :, None], a1, jnp.zeros_like(a1))
+    a1 = jnp.where(valid1, a1, jnp.zeros_like(a1))
     h = _conv3x3(a1, w1[:], tile_h + 2, width) + b1[:]
 
     # LN2+SiLU; rows of h outside the true frame likewise become zeros
     a2 = _ln_silu(h, ln2_s[:], ln2_b[:]).astype(dtype)
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, a2.shape[:2], 0) + row0 - 1
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, a2.shape, 0) + row0 - 1
     valid2 = (rows2 >= 0) & (rows2 < height)
-    a2 = jnp.where(valid2[:, :, None], a2, jnp.zeros_like(a2))
+    a2 = jnp.where(valid2, a2, jnp.zeros_like(a2))
     a2p = jnp.pad(a2, ((0, 0), (1, 1), (0, 0)))
     y = _conv3x3(a2p, w2[:], tile_h, width) + b2[:]
 
