@@ -82,28 +82,28 @@ def main():
     frames = default_transform(frames, args.input_height, args.input_width)
     pos = {idx: i for i, idx in enumerate(frame_ids)}
 
+    # pad_gen_frames (reference inference_reconstruct.py:213-219): prepend
+    # the last tdf-1 GENERATED frames as causal context for the next batch,
+    # keep only the last chunk-length outputs.
     outs, ins = [], []
-    prev_tail = None
+    prev_gen = None
+    pad_gen = (args.pad_gen_frames and tok.is_causal
+               and not args.read_long_video)
     tic = time.time()
     for bi, ids in enumerate(batches):
         x = frames[[pos[i] for i in ids]]  # [T,H,W,C]
-        xin = x
-        if args.pad_gen_frames and prev_tail is not None:
-            x = np.concatenate([prev_tail, x[: len(ids) - prev_tail.shape[0]]],
-                               axis=0)
-        batch = jnp.asarray(x[None]).transpose(0, 4, 1, 2, 3)  # NCTHW
-        _, xrec, _ = tok(batch)
-        xrec = np.asarray(xrec)[0].transpose(1, 2, 3, 0)  # [T,H,W,C]
-        if args.pad_gen_frames and prev_tail is not None:
-            keep = xrec[prev_tail.shape[0]:]
-            ins.append(xin[prev_tail.shape[0]:] if False else xin[: keep.shape[0]])
-            outs.append(keep)
+        if pad_gen and prev_gen is not None:
+            model_in = np.concatenate([prev_gen, x], axis=0)
         else:
-            ins.append(xin)
-            outs.append(xrec[: xin.shape[0]])
-        if args.pad_gen_frames:
-            ctx = 1 + tdf if tok.is_causal else tdf
-            prev_tail = outs[-1][-ctx:]
+            model_in = x
+        batch = jnp.asarray(model_in[None]).transpose(0, 4, 1, 2, 3)  # NCTHW
+        _, xrec, _ = tok(batch)
+        xrec = np.clip(np.asarray(xrec)[0].transpose(1, 2, 3, 0), -1, 1)
+        xrec = xrec[-x.shape[0]:]
+        if pad_gen:
+            prev_gen = xrec[1 - tdf:] if tdf > 1 else xrec[:0]
+        ins.append(x)
+        outs.append(xrec)
     print(f"inference time: {time.time() - tic:.2f}s for "
           f"{sum(o.shape[0] for o in outs)} frames")
 
