@@ -122,7 +122,9 @@ def fused_spatial_resblock(x, params, tile_h: int = 8,
     while h % tile_h != 0 and tile_h > 1:
         tile_h //= 2
 
-    xp = jnp.pad(x, ((0, 0), (2, 2), (1, 1), (0, 0)))
+    # pad W so the DMA'd tile's sublane dim is 8-aligned (Mosaic tiling)
+    wpad_total = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (2, 2), (1, wpad_total - w - 1), (0, 0)))
     dtype = x.dtype
     ws = (params["nin_shortcut"]["kernel"][0, 0, 0].astype(dtype)
           if has_shortcut else jnp.zeros((cin, cout), dtype))
@@ -143,7 +145,7 @@ def fused_spatial_resblock(x, params, tile_h: int = 8,
                                lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 4, w + 2, cin), dtype),
+            pltpu.VMEM((tile_h + 4, wpad_total, cin), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
