@@ -29,11 +29,22 @@ __all__ = [
 
 
 def load_model_from_config(config, ckpt=None, **kwargs):
-    """Build a VideoTokenizer from a YAML config path or config dict.
+    """Build a tokenizer engine from a YAML config path or config dict.
 
     Mirrors reference scripts/inference_evaluate.py:26-32 (the de-facto
-    public API per reference README.md:324-349).
+    public API per reference README.md:324-349). Dispatches to the VidTwin
+    engine when the model target is a VidTwin class.
     """
+    from .config import load_config
+
+    cfg = load_config(config)
+    target = (cfg.get("model", cfg) or {}).get("target", "")
+    if "VidTwin" in target or "vidtwin" in str(target):
+        from .models.vidtwin.engine import VidTwinTokenizer
+
+        kwargs.pop("compute_dtype", None)
+        kwargs.pop("init_shape", None)
+        return VidTwinTokenizer.from_config(cfg, ckpt=ckpt, **kwargs)
     from .models.autoencoder import VideoTokenizer
 
-    return VideoTokenizer.from_config(config, ckpt=ckpt, **kwargs)
+    return VideoTokenizer.from_config(cfg, ckpt=ckpt, **kwargs)
