@@ -126,10 +126,16 @@ def main():
     except (ValueError, OSError):
         pass
 
+    from vidtok_tpu.data.pipeline import device_prefetch
+
+    def _to_device(b):
+        return {**b, "jpg": trainer.shard_batch(jnp.asarray(b["jpg"]))}
+
     epoch = 0
     try:
         while gstep < max_steps:
-            for batch in train_loader.epoch(epoch):
+            for batch in device_prefetch(train_loader.epoch(epoch),
+                                         _to_device):
                 rng, sub = jax.random.split(rng)
                 state, logs = trainer.fit_step(state, batch["jpg"], sub)
                 gstep += 1
