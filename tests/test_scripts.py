@@ -84,3 +84,35 @@ def test_inference_evaluate_cli(workdir):
                 "--num_frames", "9"],
                cwd=ROOT)
     assert "mean PSNR" in out
+
+
+TINY_NONCAUSAL = {
+    "model": {"params": {
+        "encoder_config": {"target": "Encoder3D", "params": {
+            "double_z": True, "z_channels": 4, "in_channels": 3, "out_ch": 3,
+            "ch": 32, "ch_mult": [1, 2, 2], "time_downsample_factor": 4,
+            "num_res_blocks": 1, "norm_type": "layernorm"}},
+        "decoder_config": {"target": "Decoder3D",
+                           "params": "${model.params.encoder_config.params}"},
+        "regularizer_config": {"target": "DiagonalGaussianRegularizer"},
+    }}}
+
+
+def test_reconstruct_example_mp4_noncausal(workdir):
+    """BASELINE config #1 shape: non-causal reconstruct of the reference's
+    example.mp4 (read in place; skipped when the mount is absent)."""
+    example = "/root/reference/assets/example.mp4"
+    if not os.path.exists(example):
+        pytest.skip("reference example.mp4 not mounted")
+    cfg_path = os.path.join(workdir, "tiny_noncausal.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(TINY_NONCAUSAL, f)
+    out = _run([os.path.join(ROOT, "scripts", "inference_reconstruct.py"),
+                "--config", cfg_path,
+                "--input_video_path", example,
+                "--input_height", "64", "--input_width", "64",
+                "--chunk_size", "16", "--sample_fps", "30",
+                "--output_video_dir", workdir],
+               cwd=ROOT)
+    assert "wrote" in out
+    assert os.path.exists(os.path.join(workdir, "example_recon.mp4"))
