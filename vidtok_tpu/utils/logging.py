@@ -13,10 +13,17 @@ import numpy as np
 
 
 class MetricLogger:
-    def __init__(self, logdir: str, use_tensorboard: bool = True):
+    """TensorBoard (clu) + JSONL, with optional wandb when installed and
+    configured (reference supports tensorboard/wandb/csv,
+    main.py:802-855)."""
+
+    def __init__(self, logdir: str, use_tensorboard: bool = True,
+                 wandb_project: Optional[str] = None,
+                 wandb_run_id: Optional[str] = None):
         self.logdir = logdir
         os.makedirs(logdir, exist_ok=True)
         self._tb = None
+        self._wandb = None
         if use_tensorboard:
             try:
                 from clu import metric_writers
@@ -24,12 +31,23 @@ class MetricLogger:
                 self._tb = metric_writers.SummaryWriter(logdir)
             except Exception:
                 self._tb = None
+        if wandb_project:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=wandb_project, dir=logdir,
+                                         id=wandb_run_id,
+                                         resume="allow" if wandb_run_id else None)
+            except Exception:
+                self._wandb = None
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
 
     def log_scalars(self, step: int, scalars: Dict[str, float]):
         scalars = {k: float(v) for k, v in scalars.items()}
         if self._tb is not None:
             self._tb.write_scalars(step, scalars)
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
         self._jsonl.write(json.dumps({"step": step, "time": time.time(),
                                       **scalars}) + "\n")
         self._jsonl.flush()
@@ -37,6 +55,8 @@ class MetricLogger:
     def close(self):
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
         self._jsonl.close()
 
 
@@ -62,15 +82,29 @@ class ImageVideoLogger:
     ``batch_frequency`` steps (reference logger.py:23-289)."""
 
     def __init__(self, logdir: str, batch_frequency: int = 5000,
-                 max_samples: int = 2, disabled: bool = False, **_):
+                 max_samples: int = 2, disabled: bool = False,
+                 increase_log_steps: bool = False, log_first_step: bool = False,
+                 **_):
         self.dir = os.path.join(logdir, "images")
         os.makedirs(self.dir, exist_ok=True)
         self.freq = batch_frequency
         self.max_samples = max_samples
         self.disabled = disabled
+        self.log_first_step = log_first_step
+        # 2^n warmup schedule (reference ImageLogger, main.py:404)
+        self.steps = set()
+        if increase_log_steps:
+            s = 1
+            while s < batch_frequency:
+                self.steps.add(s)
+                s *= 2
 
     def should_log(self, step: int) -> bool:
-        return (not self.disabled) and step % self.freq == 0
+        if self.disabled:
+            return False
+        if step == 0:
+            return self.log_first_step
+        return step % self.freq == 0 or step in self.steps
 
     def log(self, step: int, inputs: np.ndarray, recons: np.ndarray,
             split: str = "train"):
