@@ -362,6 +362,34 @@ class VideoTokenizer:
 
     __call__ = forward
 
+    # -- multi-chip sharded inference ---------------------------------------
+    # TPU-native extension (SURVEY §2.5): shard the frame HEIGHT across the
+    # mesh's devices for single-video latency scaling. XLA's SPMD partitioner
+    # inserts the conv halo exchanges (collective-permutes over ICI)
+    # automatically — no manual communication code.
+
+    def forward_sharded(self, x, mesh, sample: bool = False):
+        """Full forward with H sharded over all mesh devices.
+
+        x: [B,C,T,H,W]; mesh: a Mesh whose total device count divides H/8.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+        key = ("forward_sharded", x.shape, sample, id(mesh))
+        if key not in self._jit_cache:
+            fn = self._full_forward_fn(sample)
+            x_sharding = NamedSharding(mesh, P(None, None, None, axes, None))
+            rep = NamedSharding(mesh, P())
+            self._jit_cache[key] = jax.jit(
+                fn, in_shardings=(rep, x_sharding, rep))
+        params = jax.device_put(
+            self.params, NamedSharding(mesh, P()))
+        xs = jax.device_put(jnp.asarray(x),
+                            NamedSharding(mesh, P(None, None, None, axes,
+                                                  None)))
+        return self._jit_cache[key](params, xs, self._next_rng())
+
     # -- tiled / streaming inference ----------------------------------------
     # Reference: autoencoder_v1_1.py:218-331. Chunk schedule: first chunk is
     # a single frame (anchors the causal stream), then steps of t_chunk.
