@@ -91,22 +91,9 @@ def conv3d(x, kernel, bias=None, stride=(1, 1, 1), padding="VALID"):
         t_in = x.shape[1]
         t_out = (t_in - kt) // st + 1
 
-        if kernel.shape[1] == 1 and kernel.shape[2] == 1:
-            # temporal-only conv: fold (H,W) into one image axis and run a
-            # single (kt,1) 2D conv with T as the image height — one pass
-            # instead of kt shifted matmuls
-            b, _, h, w, cin = x.shape
-            xf = x.reshape(b, t_in, h * w, cin)
-            kern2 = kernel.reshape(kt, 1, cin, kernel.shape[-1])
-            dn = lax.conv_dimension_numbers(xf.shape, kern2.shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-            y = lax.conv_general_dilated(xf, kern2, (st, 1), "VALID",
-                                         dimension_numbers=dn)
-            y = y.reshape(b, t_out, h, w, -1)
-            if bias is not None:
-                y = y + bias.astype(y.dtype)
-            return y
-
+        # (A folded single-2D-conv variant for (kt,1,1) kernels was measured
+        # SLOWER on v5e — 45.4 vs 49.1 fps end-to-end — so temporal convs
+        # stay on the kt-shifted-matmul path below.)
         pad_hw = [tuple(padding[1]), tuple(padding[2])]
         y = None
         for j in range(kt):
