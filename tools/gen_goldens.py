@@ -239,8 +239,9 @@ def gen_metrics():
     y = torch.clamp(x + 0.1 * randn(2, 3, 4, 64, 64, seed=6), 0, 1)
     psnr = refutil.compute_psnr(x, y).item()
     ssim = refutil.compute_ssim(x, y).item()
-    x2 = torch.rand(2, 3, 4, 300, 300, generator=torch.Generator().manual_seed(7))
-    y2 = torch.clamp(x2 + 0.05 * randn(2, 3, 4, 300, 300, seed=8), 0, 1)
+    # 600px: triggers the auto-downscale (f=2) path in compute_ssim
+    x2 = torch.rand(1, 3, 2, 600, 600, generator=torch.Generator().manual_seed(7))
+    y2 = torch.clamp(x2 + 0.05 * randn(1, 3, 2, 600, 600, seed=8), 0, 1)
     psnr2 = refutil.compute_psnr(x2, y2).item()
     ssim2 = refutil.compute_ssim(x2, y2).item()
     save("metrics", {}, dict(
