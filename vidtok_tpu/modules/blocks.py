@@ -86,8 +86,18 @@ class ResnetBlockTemporal(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, streaming: bool = False,
-                 first_chunk: bool = True, use_cache_offset: bool = False, **_):
+                 first_chunk: bool = True, use_cache_offset: bool = False,
+                 fused: bool = False, **_):
         in_ch = x.shape[-1]
+        if (fused and not streaming and self.causal
+                and not self.is_initializing()
+                and self.norm_type == "layernorm" and self.dropout == 0.0
+                and in_ch == self.out_channels):
+            # Pallas fused path (inference): one VMEM-resident pass
+            from ..ops.pallas.fused_temporal import fused_temporal_resblock
+
+            return fused_temporal_resblock(
+                x, self.variables["params"], self.first_pad_mode)
         stream = dict(streaming=streaming, first_chunk=first_chunk,
                       use_cache_offset=use_cache_offset)
 
