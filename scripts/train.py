@@ -37,6 +37,8 @@ def get_parser():
                    help="lr = n_chips * batch_size * base_lr (reference "
                         "main.py:1025-1031)")
     p.add_argument("--lpips_weights", default=None)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of steps 10-13")
     return p
 
 
@@ -81,6 +83,14 @@ def main():
               "perceptual loss uses random VGG features "
               "(run tools/convert_lpips.py).")
 
+    # per-process data seed (reference SetupCallback seed_rank,
+    # main.py:331-338)
+    try:
+        proc = jax.process_index()
+    except Exception:
+        proc = 0
+    cfg.setdefault("data", {}).setdefault("params", {})["seed"] = (
+        args.seed + 1000 * proc)
     data = instantiate_from_config(cfg["data"]).setup()
     train_loader = data.train_dataloader()
     val_loader = data.val_dataloader()
@@ -137,7 +147,12 @@ def main():
             for batch in device_prefetch(train_loader.epoch(epoch),
                                          _to_device):
                 rng, sub = jax.random.split(rng)
+                if args.profile and gstep == start_step + 10:
+                    jax.profiler.start_trace(os.path.join(rundir, "trace"))
                 state, logs = trainer.fit_step(state, batch["jpg"], sub)
+                if args.profile and gstep == start_step + 13:
+                    jax.block_until_ready(logs)
+                    jax.profiler.stop_trace()
                 gstep += 1
                 if gstep % 50 == 0:
                     logs = {k: float(v) for k, v in logs.items()}

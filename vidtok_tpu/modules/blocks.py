@@ -45,7 +45,9 @@ class ResnetBlockSpatial(nn.Module):
     def __call__(self, x, *, deterministic: bool = True, fused: bool = False,
                  **_):
         in_ch = x.shape[-1]
-        if (fused and not self.is_initializing()
+        from ..ops import pallas as pallas_cfg
+
+        if (fused and pallas_cfg.FUSE_SPATIAL and not self.is_initializing()
                 and self.norm_type == "layernorm" and self.dropout == 0.0):
             # Pallas fused path (inference): one VMEM-resident pass
             from ..ops.pallas.fused_resblock import fused_spatial_resblock
@@ -89,8 +91,10 @@ class ResnetBlockTemporal(nn.Module):
                  first_chunk: bool = True, use_cache_offset: bool = False,
                  fused: bool = False, **_):
         in_ch = x.shape[-1]
-        if (fused and not streaming and self.causal
-                and not self.is_initializing()
+        from ..ops import pallas as pallas_cfg
+
+        if (fused and pallas_cfg.FUSE_TEMPORAL and not streaming
+                and self.causal and not self.is_initializing()
                 and self.norm_type == "layernorm" and self.dropout == 0.0
                 and in_ch == self.out_channels):
             # Pallas fused path (inference): one VMEM-resident pass
