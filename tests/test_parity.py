@@ -196,3 +196,21 @@ def test_metrics_parity():
     assert abs(float(compute_ssim(arrays["x"], arrays["y"])) - float(arrays["ssim"])) < 1e-4
     assert abs(float(compute_psnr(arrays["x2"], arrays["y2"])) - float(arrays["psnr2"])) < 1e-3
     assert abs(float(compute_ssim(arrays["x2"], arrays["y2"])) - float(arrays["ssim2"])) < 1e-4
+
+
+def test_fsq_projections_roundtrip():
+    """FSQ with dim != len(levels): project_in/out Linears
+    (reference regularizers.py:137-139); indices->latent must equal the
+    quantized forward output."""
+    from vidtok_tpu.modules.regularizers import FSQRegularizer
+
+    reg = FSQRegularizer(levels=(8, 8), dim=6)
+    z = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 3, 4, 4, 6).astype("float32"))
+    variables = reg.init(jax.random.PRNGKey(0), z)
+    assert "project_in" in variables["params"]
+    out, log = reg.apply(variables, z)
+    assert out.shape == z.shape
+    z2 = reg.apply(variables, log["indices"],
+                   method=FSQRegularizer.decode_indices)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(z2), atol=1e-5)
