@@ -72,7 +72,7 @@ def _kernel(x_ref, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2,
 
 
 def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
-                            tile_s: int = 512, interpret: bool = None):
+                            tile_s: int = 128, interpret: bool = None):
     """x: [B, T, H, W, C] -> same. Equal in/out channels (every temporal
     resblock in the architecture); layernorm only.
 
