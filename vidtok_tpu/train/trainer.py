@@ -57,7 +57,12 @@ class VidTokTrainer:
     # ------------------------------------------------------------------
 
     def init_state(self, example_x: np.ndarray) -> TrainState:
-        """example_x: [B, T, H, W, C] channels-last in [-1,1]."""
+        """example_x: [B, T, H, W, C] channels-last in [-1,1].
+
+        Honors ``model.params.ckpt_path`` (+ ignore_keys) for fine-tuning
+        from a pretrained torch/native checkpoint (reference fine-tune
+        workflow, README.md:185-229): core weights, the discriminator and
+        logvar (when present in the checkpoint) are restored."""
         rng = jax.random.PRNGKey(self.seed)
         r_core, r_disc, r_s = jax.random.split(rng, 3)
         x = jnp.zeros(example_x.shape, jnp.float32)
@@ -70,6 +75,29 @@ class VidTokTrainer:
                     "logvar": jnp.float32(self.loss_cfg.logvar_init)}
         params_d = disc_vars["params"]
         batch_stats_d = disc_vars.get("batch_stats", {})
+
+        mp = (self.cfg.get("model", self.cfg) or {}).get("params", {}) or {}
+        ckpt_path = mp.get("ckpt_path")
+        if ckpt_path:
+            from ..utils.checkpoint import (convert_discriminator_state_dict,
+                                            load_params,
+                                            load_torch_state_dict)
+
+            print(f"[trainer] init from ckpt: {ckpt_path}")
+            params_g["core"] = load_params(
+                ckpt_path, self.core,
+                ignore_keys=tuple(mp.get("ignore_keys", ()) or ()))
+            if ckpt_path.endswith((".ckpt", ".safetensors")):
+                sd = load_torch_state_dict(ckpt_path)
+                if any(k.startswith("loss.discriminator.") for k in sd):
+                    dparams, dstats = convert_discriminator_state_dict(sd)
+                    params_d = jax.tree_util.tree_map(jnp.asarray, dparams)
+                    if dstats:
+                        batch_stats_d = jax.tree_util.tree_map(
+                            jnp.asarray, dstats)
+                if "loss.logvar" in sd:
+                    params_g["logvar"] = jnp.float32(
+                        np.asarray(sd["loss.logvar"]))
         state = TrainState(
             step=jnp.int32(0),
             params_g=params_g,
