@@ -37,7 +37,7 @@ def main():
     x = jnp.asarray(
         np.random.RandomState(0).randn(B, 3, T, H, W).astype(np.float32) * 0.5)
 
-    fn = tok._full_forward_fn(sample=False)
+    fn = tok._full_forward_fn(sample=False, fused=True)
     # Serve with bf16 weights at rest (halves HBM weight traffic); the
     # compute path is bf16 with fp32 norm/epilogue stats regardless.
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16)
@@ -65,7 +65,7 @@ def main():
     med = float(np.median(times))
     fps = B * T / med
     result = {
-        "metric": "256p frames/sec/chip encode+decode (kl_causal_488_16chn, bf16)",
+        "metric": "256p frames/sec/chip encode+decode (kl_causal_488_16chn, bf16, fused)",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
