@@ -78,6 +78,12 @@ def test_all_configs_translate():
                             recursive=True))
     assert len(cfgs) >= 23
     for path in cfgs:
+        if "vidtwin" in path:
+            from vidtok_tpu.models.vidtwin import build_vidtwin_from_config
+
+            model, meta = build_vidtwin_from_config(load_config(path)["model"])
+            assert meta["kind"] == "vidtwin"
+            continue
         cfg = load_config(path)
         core, meta = build_core_from_config(cfg["model"])
         assert core.encoder.ch == 128
