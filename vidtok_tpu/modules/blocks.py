@@ -407,11 +407,54 @@ class TimeUpsampleRes2x(nn.Module):
                     x = head
 
         if self.causal:
-            x_ = CausalConv3d(self.out_channels, (3, 3, 3),
-                              first_pad_mode=self.first_pad_mode,
-                              cache_offset=self.cache_offset, name="conv")(
-                x, streaming=streaming, first_chunk=first_chunk,
-                use_cache_offset=use_cache_offset)
+            conv = CausalConv3d(self.out_channels, (3, 3, 3),
+                                first_pad_mode=self.first_pad_mode,
+                                cache_offset=self.cache_offset, name="conv")
+            if (self.interpolation_mode == "nearest" and not streaming
+                    and not self.is_initializing()
+                    and x.shape[-1] == self.out_channels):
+                # Parity decomposition of conv-on-duplicated-frames: since
+                # x[2a] == x[2a+1] == src[a], the causal k=3 temporal conv is
+                # EXACTLY two 2-tap convs on the pre-upsample frames —
+                # 1.5x fewer MACs and half the input reads. This conv is the
+                # single most expensive op in the decoder (profiled 4.6
+                # TFLOP at level-1 upsample of the 488 flagship).
+                k = self.variables["params"]["conv"]["kernel"]  # [3,3,3,C,C]
+                b = self.variables["params"]["conv"]["bias"]
+                x_ = _parity_temporal_conv_on_up2x(
+                    x, k, b, self.first_pad_mode)
+            else:
+                x_ = conv(x, streaming=streaming, first_chunk=first_chunk,
+                          use_cache_offset=use_cache_offset)
         else:
             x_ = Conv3d(self.out_channels, (3, 3, 3), name="conv")(x)
         return alpha * x + (1 - alpha) * x_
+
+
+def _parity_temporal_conv_on_up2x(x_up, k, bias, first_pad_mode):
+    """Causal (3,3,3) conv applied to a nearest-2x temporally upsampled
+    tensor, computed from the HALF-RATE frames by output parity.
+
+    With U[2a] = U[2a+1] = s[a] (s = x_up[:, ::2]) and causal time pad 2:
+      y[2a]   reads U[2a-2..2a]   = s[a-1], s[a-1], s[a] -> taps [K0+K1, K2]
+      y[2a+1] reads U[2a-1..2a+1] = s[a-1], s[a],   s[a] -> taps [K0, K1+K2]
+    Stream-start padding (zero for v1.0, replicate-frame-0 for v1.1) maps to
+    the same padding of s. Exact for any T.
+    """
+    from .conv import conv3d as _conv3d
+
+    s = x_up[:, ::2]
+    k = k.astype(x_up.dtype)
+    k_even = jnp.stack([k[0] + k[1], k[2]])  # [2,3,3,Cin,Cout]
+    k_odd = jnp.stack([k[0], k[1] + k[2]])
+    if first_pad_mode == "replicate":
+        front = s[:, :1]
+    else:
+        front = jnp.zeros_like(s[:, :1])
+    sp = jnp.concatenate([front, s], axis=1)
+    pad = [(0, 0), (1, 1), (1, 1)]
+    y_even = _conv3d(sp, k_even, bias, (1, 1, 1), pad)
+    y_odd = _conv3d(sp, k_odd, bias, (1, 1, 1), pad)
+    b_, t2 = x_up.shape[0], x_up.shape[1]
+    y = jnp.stack([y_even, y_odd], axis=2)
+    return y.reshape((b_, t2) + y.shape[3:])
