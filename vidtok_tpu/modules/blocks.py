@@ -410,9 +410,12 @@ class TimeUpsampleRes2x(nn.Module):
             conv = CausalConv3d(self.out_channels, (3, 3, 3),
                                 first_pad_mode=self.first_pad_mode,
                                 cache_offset=self.cache_offset, name="conv")
-            if (self.interpolation_mode == "nearest" and not streaming
-                    and not self.is_initializing()
+            if False and (self.interpolation_mode == "nearest"
+                    and not streaming and not self.is_initializing()
                     and x.shape[-1] == self.out_channels):
+                # DISABLED: measured 59.3 vs 61.4 fps — the parity interleave
+                # materialization costs more than the 1.5x MAC saving. Kept
+                # for reference; re-evaluate if the conv becomes compute-bound.
                 # Parity decomposition of conv-on-duplicated-frames: since
                 # x[2a] == x[2a+1] == src[a], the causal k=3 temporal conv is
                 # EXACTLY two 2-tap convs on the pre-upsample frames —
