@@ -63,6 +63,9 @@ class VidTwinVAE(nn.Module):
     motion_num_blocks: int = 2
     downsample_motion: bool = False
     sample: bool = True
+    # training-time disentanglement: shuffle frames per sample before the
+    # structure Q-Former (reference shuffle_content, vidtwin_ae.py:1436-1442)
+    shuffle_content: bool = False
 
     @property
     def hidden_dim(self):
@@ -127,7 +130,15 @@ class VidTwinVAE(nn.Module):
         z = self.encoder(x)  # [B, F, H', W', C]
         b, f, hh, ww, c = z.shape
 
-        pre_q = jnp.transpose(z, (0, 2, 3, 1, 4)).reshape(b * hh * ww, f, c)
+        z_q = z
+        if self.shuffle_content:
+            # per-sample random frame permutation (reference :1436-1442)
+            rng = self.make_rng("sample")
+            perms = jax.vmap(
+                lambda k: jax.random.permutation(k, f))(
+                jax.random.split(rng, b))
+            z_q = jax.vmap(lambda zi, p: zi[p])(z, perms)
+        pre_q = jnp.transpose(z_q, (0, 2, 3, 1, 4)).reshape(b * hh * ww, f, c)
         zc = self.qformer(pre_q)  # [(B H W), Fq, Cq]
         fq, cq = zc.shape[1], zc.shape[2]
         zc = zc.reshape(b, hh, ww, fq, cq)
@@ -270,6 +281,7 @@ def build_vidtwin_from_config(model_cfg: dict):
         cont_num_blocks=p.get("cont_num_blocks", 2),
         motion_num_blocks=p.get("motion_num_blocks", 2),
         downsample_motion=p.get("downsample_motion", False),
+        shuffle_content=p.get("shuffle_content", False),
         sample=(p.get("regularizer_config", {}).get("params", {}) or {}).get(
             "sample", True),
     )
