@@ -272,6 +272,12 @@ class VideoTokenizer:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def save(self, path: str):
+        """Save params to a native .npz (loadable via ckpt= in from_config)."""
+        from ..utils.checkpoint import save_params
+
+        save_params(path, self.params)
+
     # -- jit helpers --------------------------------------------------------
 
     def _jitted(self, key, fn):
