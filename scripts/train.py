@@ -76,7 +76,18 @@ def main():
     ckptdir = os.path.join(rundir, "checkpoints")
     os.makedirs(ckptdir, exist_ok=True)
 
-    trainer = VidTokTrainer(cfg, lpips_weights=args.lpips_weights,
+    # data-parallel axis must divide the global batch
+    from vidtok_tpu.parallel.mesh import make_mesh
+
+    bs = int((cfg.get("data", {}).get("params", {}) or {})
+             .get("batch_size", 1))
+    nd = len(jax.devices())
+    n_data = max(d for d in range(1, min(bs, nd) + 1) if bs % d == 0)
+    if n_data < nd:
+        print(f"[train] batch_size {bs} uses {n_data}/{nd} devices on the "
+              f"data axis")
+    trainer = VidTokTrainer(cfg, mesh=make_mesh(n_data=n_data),
+                            lpips_weights=args.lpips_weights,
                             seed=args.seed)
     if not trainer.lpips_pretrained:
         print("[train] WARNING: no converted LPIPS weights found — "
