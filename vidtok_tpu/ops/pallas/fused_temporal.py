@@ -71,8 +71,13 @@ def _kernel(x_ref, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2,
     out_ref[0] = (x.astype(jnp.float32) + y).astype(dtype)
 
 
+import os as _os
+
+_TILE_S = int(_os.environ.get("VIDTOK_FUSE_TEMPORAL_TILE", "128"))
+
+
 def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
-                            tile_s: int = 128, interpret: bool = None):
+                            tile_s: int = None, interpret: bool = None):
     """x: [B, T, H, W, C] -> same. Equal in/out channels (every temporal
     resblock in the architecture); layernorm only.
 
@@ -81,6 +86,8 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if tile_s is None:
+        tile_s = _TILE_S
     b, t, h, w, c = x.shape
     s = h * w
     while s % tile_s != 0 and tile_s > 8:
