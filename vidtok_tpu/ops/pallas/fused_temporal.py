@@ -90,7 +90,7 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
     if tile_s is None:
         # VMEM-budgeted: ~6 fp32 temporaries of [T+2, tile_s, C] must stay
         # under the 16MB scoped limit (tile_s*C <= 32768 measured safe)
-        tile_s = max(64, min(_TILE_S * 128 // max(c // 128, 1), 512))
+        tile_s = max(64, min(_TILE_S * 128 // c, 512))
     s = h * w
     while s % tile_s != 0 and tile_s > 8:
         tile_s //= 2
