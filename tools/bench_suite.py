@@ -1,0 +1,107 @@
+"""Extended benchmark suite (not the driver entry point — that is bench.py).
+
+Measures encode-only / decode-only / full / streaming-chunk throughput of
+the flagship on the current backend with scalar-sync timing. Each section is
+one compiled program; on the axon relay expect ~15-25 min cold compile per
+section, so select sections via argv, e.g.:
+
+  python tools/bench_suite.py full encode decode stream
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidtok_tpu import load_model_from_config
+from vidtok_tpu.models.autoencoder import TokenizerCore, _to_nthwc
+
+CONFIG = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs", "vidtok_kl_causal_488_16chn.yaml")
+
+
+def timeit(fn, n=10):
+    fn()
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    sections = sys.argv[1:] or ["full"]
+    tok = load_model_from_config(CONFIG, init_shape=(1, 5, 64, 64),
+                                 compute_dtype=jnp.bfloat16)
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16),
+                                    tok.params)
+    B, T, H, W = 1, 17, 256, 256
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(B, 3, T, H, W).astype(np.float32) * 0.5)
+    rng = jax.random.PRNGKey(0)
+
+    if "full" in sections:
+        fn = tok._full_forward_fn(sample=False, fused=True)
+
+        @jax.jit
+        def full(params, x, rng):
+            z, dec, log = fn(params, x, rng)
+            return jnp.sum(dec)
+
+        med = timeit(lambda: float(full(params, x, rng)))
+        print(f"full enc+dec: {med*1e3:.1f} ms -> {B*T/med:.1f} frames/s")
+
+    if "encode" in sections:
+        @jax.jit
+        def enc(params, x, rng):
+            xt = _to_nthwc(x).astype(jnp.bfloat16)
+            z, log = tok.core.apply(
+                {"params": params}, xt, sample_override=False, fused=True,
+                rngs={"sample": rng}, method=TokenizerCore.encode)
+            return jnp.sum(z)
+
+        med = timeit(lambda: float(enc(params, x, rng)))
+        print(f"encode: {med*1e3:.1f} ms -> {B*T/med:.1f} frames/s")
+
+    if "decode" in sections:
+        z = jnp.asarray(np.random.RandomState(1)
+                        .randn(B, 16, 5, 32, 32).astype(np.float32))
+
+        @jax.jit
+        def dec(params, z):
+            zt = _to_nthwc(z).astype(jnp.bfloat16)
+            d = tok.core.apply({"params": params}, zt, fused=True,
+                               method=TokenizerCore.decode)
+            return jnp.sum(d)
+
+        med = timeit(lambda: float(dec(params, z)))
+        print(f"decode: {med*1e3:.1f} ms -> {B*T/med:.1f} frames/s")
+
+    if "stream" in sections:
+        # per-chunk streaming step (the serving path): 16-frame chunks
+        tok.params = params
+        tok.use_tiling = True
+        tok.t_chunk_enc = 16
+        first_fn, step_fn = tok._stream_encode_fns(
+            (B, 3, 16, H, W), (B, 3, 1, H, W), False)
+        xc0 = x[:, :, :1]
+        xck = x[:, :, 1:17]
+        _, _, cache = first_fn(params, xc0, rng)
+
+        def one():
+            z, log, c2 = step_fn(params, cache, xck, rng)
+            return float(jnp.sum(z))
+
+        med = timeit(one)
+        print(f"stream chunk (16f): {med*1e3:.1f} ms -> "
+              f"{16/med:.1f} frames/s steady-state")
+
+
+if __name__ == "__main__":
+    main()
