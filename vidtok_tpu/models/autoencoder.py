@@ -280,11 +280,6 @@ class VideoTokenizer:
 
     # -- jit helpers --------------------------------------------------------
 
-    def _jitted(self, key, fn):
-        if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(fn, static_argnames=())
-        return self._jit_cache[key]
-
     def _full_forward_fn(self, sample: bool, fused: bool = False):
         def fn(params, x, rng):
             xt = _to_nthwc(x).astype(self.compute_dtype)
