@@ -40,15 +40,32 @@ def _ln_silu(x, scale, bias, eps=1e-6):
     return y * jax.nn.sigmoid(y)
 
 
+import os as _os
+
+# 'roll': express the 9 conv shifts as pltpu.roll + aligned fixed slices
+# (Mosaic-native permutes) instead of offset slices (which force vector
+# relayouts). Override with VIDTOK_FUSE_SPATIAL_SHIFT=slice.
+_SHIFT_IMPL = _os.environ.get("VIDTOK_FUSE_SPATIAL_SHIFT", "roll")
+
+
 def _conv3x3(act, w, th_out, width):
-    """act: [th_out+2, W+2, Cin] -> [th_out, W, Cout] via 9 MXU matmuls."""
+    """act: [rows, W_pad, Cin] (borders pre-zeroed) -> [th_out, W, Cout]
+    via 9 MXU matmuls."""
     cin = act.shape[-1]
     cout = w.shape[-1]
     acc = jnp.zeros((th_out * width, cout), jnp.float32)
     for dr in range(3):
         for dw in range(3):
-            a = act[dr:dr + th_out, dw:dw + width, :].reshape(
-                th_out * width, cin)
+            if _SHIFT_IMPL == "roll":
+                shifted = act
+                if dr:  # left-roll by dr == right-roll by (size - dr)
+                    shifted = pltpu.roll(shifted, act.shape[0] - dr, 0)
+                if dw:
+                    shifted = pltpu.roll(shifted, act.shape[1] - dw, 1)
+                a = shifted[:th_out, :width, :]
+            else:
+                a = act[dr:dr + th_out, dw:dw + width, :]
+            a = a.reshape(th_out * width, cin)
             acc = acc + jnp.dot(a, w[dr, dw],
                                 preferred_element_type=jnp.float32)
     return acc.reshape(th_out, width, cout)
