@@ -42,10 +42,11 @@ def _ln_silu(x, scale, bias, eps=1e-6):
 
 import os as _os
 
-# 'roll': express the 9 conv shifts as pltpu.roll + aligned fixed slices
-# (Mosaic-native permutes) instead of offset slices (which force vector
-# relayouts). Override with VIDTOK_FUSE_SPATIAL_SHIFT=slice.
-_SHIFT_IMPL = _os.environ.get("VIDTOK_FUSE_SPATIAL_SHIFT", "roll")
+# 'slice' (default): offset slices (force Mosaic relayouts but always
+# compile). 'roll' expresses shifts as pltpu.roll + aligned slices — faster
+# in principle but Mosaic cannot rotate non-32-bit vectors (bf16), so it is
+# only usable for fp32 runs.
+_SHIFT_IMPL = _os.environ.get("VIDTOK_FUSE_SPATIAL_SHIFT", "slice")
 
 
 def _conv3x3(act, w, th_out, width):
