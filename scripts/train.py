@@ -108,7 +108,7 @@ def main():
 
     if args.scale_lr:
         n_chips = trainer.mesh.devices.size
-        trainer.lr = n_chips * data.batch_size * trainer.lr
+        trainer.set_lr(n_chips * data.batch_size * trainer.lr)
         print(f"[train] scaled lr to {trainer.lr}")
 
     # example batch for init

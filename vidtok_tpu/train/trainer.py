@@ -54,6 +54,14 @@ class VidTokTrainer:
 
         self._train_step = None
 
+    def set_lr(self, lr: float):
+        """Rebuild both optimizers with a new LR (e.g. --scale_lr). Must be
+        called before init_state / the first fit_step."""
+        assert self._train_step is None, "set_lr before the first step"
+        self.lr = float(lr)
+        self.opt_g = make_optimizer(self.lr, self.grad_clip)
+        self.opt_d = make_optimizer(self.lr, self.grad_clip)
+
     # ------------------------------------------------------------------
 
     def init_state(self, example_x: np.ndarray) -> TrainState:
