@@ -39,6 +39,11 @@ def get_parser():
     p.add_argument("--lpips_weights", default=None)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 10-13")
+    p.add_argument("--resume_from_checkpoint", default=None,
+                   help="explicit orbax checkpoint dir to resume from "
+                        "(reference --resume_from_checkpoint)")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--wandb_project", default="vidtok_tpu")
     return p
 
 
@@ -117,14 +122,22 @@ def main():
     state = trainer.init_state(x0)
 
     start_step = 0
-    path, step = latest_checkpoint(ckptdir)
+    if args.resume_from_checkpoint:
+        path, step = args.resume_from_checkpoint, None
+        import re as _re
+
+        m = _re.search(r"step_(\d+)", path)
+        step = int(m.group(1)) if m else 0
+    else:
+        path, step = latest_checkpoint(ckptdir)
     if path is not None:
         print(f"[train] resuming from {path}")
         state = restore_train_state(path, jax.device_get(state))
         start_step = step
     state = trainer.shard_state(state)
 
-    metrics = MetricLogger(rundir)
+    metrics = MetricLogger(
+        rundir, wandb_project=args.wandb_project if args.wandb else None)
     img_logger = ImageVideoLogger(rundir,
                                   batch_frequency=tcfg.get("log_images_every",
                                                            5000))
