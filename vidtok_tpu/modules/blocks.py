@@ -13,6 +13,7 @@ non-causal variants simply ignore them.
 
 from __future__ import annotations
 
+import os as _os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -378,6 +379,19 @@ class TimeUpsampleRes2x(nn.Module):
         alpha = nn.sigmoid(mix).astype(x.dtype)
         ntu = self.num_temp_upsample
 
+        if (_PARITY_UPSAMPLE and self.interpolation_mode == "nearest"
+                and self.causal and not streaming
+                and not self.is_initializing()
+                and x.shape[-1] == self.out_channels):
+            # Channel-packed parity fast path: never materializes the 2x
+            # upsampled tensor; 1.5x fewer conv MACs (see the helper's
+            # docstring). Profiled: the two upsample convs are 29% of
+            # decoder device time at 79% MXU, so the MAC cut is the win.
+            k = self.variables["params"]["conv"]["kernel"]
+            b = self.variables["params"]["conv"]["bias"]
+            return _parity_up2x_conv_blend(x, k, b, alpha,
+                                           self.first_pad_mode)
+
         if self.interpolation_mode == "nearest":
             x = temporal_nearest_up2x(x)
         else:
@@ -410,54 +424,57 @@ class TimeUpsampleRes2x(nn.Module):
             conv = CausalConv3d(self.out_channels, (3, 3, 3),
                                 first_pad_mode=self.first_pad_mode,
                                 cache_offset=self.cache_offset, name="conv")
-            if False and (self.interpolation_mode == "nearest"
-                    and not streaming and not self.is_initializing()
-                    and x.shape[-1] == self.out_channels):
-                # DISABLED: measured 59.3 vs 61.4 fps — the parity interleave
-                # materialization costs more than the 1.5x MAC saving. Kept
-                # for reference; re-evaluate if the conv becomes compute-bound.
-                # Parity decomposition of conv-on-duplicated-frames: since
-                # x[2a] == x[2a+1] == src[a], the causal k=3 temporal conv is
-                # EXACTLY two 2-tap convs on the pre-upsample frames —
-                # 1.5x fewer MACs and half the input reads. This conv is the
-                # single most expensive op in the decoder (profiled 4.6
-                # TFLOP at level-1 upsample of the 488 flagship).
-                k = self.variables["params"]["conv"]["kernel"]  # [3,3,3,C,C]
-                b = self.variables["params"]["conv"]["bias"]
-                x_ = _parity_temporal_conv_on_up2x(
-                    x, k, b, self.first_pad_mode)
-            else:
-                x_ = conv(x, streaming=streaming, first_chunk=first_chunk,
-                          use_cache_offset=use_cache_offset)
+            x_ = conv(x, streaming=streaming, first_chunk=first_chunk,
+                      use_cache_offset=use_cache_offset)
         else:
             x_ = Conv3d(self.out_channels, (3, 3, 3), name="conv")(x)
         return alpha * x + (1 - alpha) * x_
 
 
-def _parity_temporal_conv_on_up2x(x_up, k, bias, first_pad_mode):
-    """Causal (3,3,3) conv applied to a nearest-2x temporally upsampled
-    tensor, computed from the HALF-RATE frames by output parity.
+# Parity fast path for the nearest-mode blended temporal upsample. Default
+# on (exact; covered by the golden parity tests). VIDTOK_PARITY_UPSAMPLE=0
+# to disable. An earlier two-phase-convs + jnp.stack interleave variant was
+# SLOWER (59.3 vs 61.4 fps — interleave copies ate the MAC saving); this
+# channel-packed single-conv form avoids the copies.
+_PARITY_UPSAMPLE = _os.environ.get("VIDTOK_PARITY_UPSAMPLE", "1") == "1"
 
-    With U[2a] = U[2a+1] = s[a] (s = x_up[:, ::2]) and causal time pad 2:
-      y[2a]   reads U[2a-2..2a]   = s[a-1], s[a-1], s[a] -> taps [K0+K1, K2]
-      y[2a+1] reads U[2a-1..2a+1] = s[a-1], s[a],   s[a] -> taps [K0, K1+K2]
-    Stream-start padding (zero for v1.0, replicate-frame-0 for v1.1) maps to
-    the same padding of s. Exact for any T.
+
+def _parity_up2x_conv_blend(s, k, bias, alpha, first_pad_mode):
+    """Full TimeUpsampleRes2x 'nearest' step — ``alpha * up2x(s) +
+    (1-alpha) * causal_conv333(up2x(s))`` — computed from the HALF-RATE
+    frames by output parity, as ONE per-frame 2D conv.
+
+    With U[2a] = U[2a+1] = s[a] and causal time pad 2:
+      y[2a]   reads U[2a-2..2a]   = s[a-1], s[a-1], s[a] -> (K0+K1)s[a-1] + K2 s[a]
+      y[2a+1] reads U[2a-1..2a+1] = s[a-1], s[a],   s[a] -> K0 s[a-1] + (K1+K2)s[a]
+    (Kj = the [3,3,C,C] spatial taps of the causal kernel; s[-1] is the
+    stream-start pad: zeros for v1.0, frame 0 for v1.1 — reference
+    model_3dcausal.py:255-273 semantics, restated for the half-rate input.)
+
+    Both phases read the same pair (s[a-1], s[a]), so pack them as ONE dense
+    spatial conv: input channels [s_prev | s_cur] (2C), output channels
+    [even | odd] (2C), kernel [3,3,2C,2C] — a per-frame NHWC conv with zero
+    temporal extent, the optimal TPU conv shape, at 2/3 the MACs of the
+    conv-on-duplicated-frames form. The upsampled tensor is never
+    materialized; the residual blend runs on the packed [B,T,H,W,2,C]
+    layout and a single transpose interleaves the phases into time.
     """
-    from .conv import conv3d as _conv3d
+    from .conv import _conv2d_frames
 
-    s = x_up[:, ::2]
-    k = k.astype(x_up.dtype)
-    k_even = jnp.stack([k[0] + k[1], k[2]])  # [2,3,3,Cin,Cout]
-    k_odd = jnp.stack([k[0], k[1] + k[2]])
+    b_, t, h, w, c = s.shape
+    dt = s.dtype
+    k = k.astype(dt)  # [3, 3, 3, C, C]
+    k_prev = jnp.concatenate([k[0] + k[1], k[0]], axis=-1)  # [3,3,C,2C]
+    k_cur = jnp.concatenate([k[2], k[1] + k[2]], axis=-1)
+    k_cat = jnp.concatenate([k_prev, k_cur], axis=-2)       # [3,3,2C,2C]
+
     if first_pad_mode == "replicate":
         front = s[:, :1]
     else:
         front = jnp.zeros_like(s[:, :1])
-    sp = jnp.concatenate([front, s], axis=1)
-    pad = [(0, 0), (1, 1), (1, 1)]
-    y_even = _conv3d(sp, k_even, bias, (1, 1, 1), pad)
-    y_odd = _conv3d(sp, k_odd, bias, (1, 1, 1), pad)
-    b_, t2 = x_up.shape[0], x_up.shape[1]
-    y = jnp.stack([y_even, y_odd], axis=2)
-    return y.reshape((b_, t2) + y.shape[3:])
+    s_prev = jnp.concatenate([front, s[:, :-1]], axis=1)
+    sc = jnp.concatenate([s_prev, s], axis=-1)              # [B,T,H,W,2C]
+    yc = _conv2d_frames(sc, k_cat, (1, 1), [(1, 1), (1, 1)])
+    yc = yc.reshape(b_, t, h, w, 2, c) + bias.astype(yc.dtype)
+    y = alpha * s[:, :, :, :, None, :] + (1 - alpha) * yc.astype(dt)
+    return jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(b_, 2 * t, h, w, c)
