@@ -102,6 +102,27 @@ def main():
         print(f"stream chunk (16f): {med*1e3:.1f} ms -> "
               f"{16/med:.1f} frames/s steady-state")
 
+    if "streamdec" in sections:
+        # steady-state streaming decode: 4-latent chunks -> 16 frames
+        tok.params = params
+        tok.use_tiling = True
+        first_fn, step_fn = tok._stream_decode_fns(tok.use_overlap)
+        z0 = jnp.asarray(np.random.RandomState(2)
+                         .randn(B, 16, 1, H // 8, W // 8).astype(np.float32))
+        zk = jnp.asarray(np.random.RandomState(3)
+                         .randn(B, 16, 4, H // 8, W // 8).astype(np.float32))
+        _, cache = first_fn(params, None, z0)
+        # v1.0 crops tdf-1 frames per chunk; count the real output frames
+        nf = step_fn(params, cache, zk)[0].shape[1]
+
+        def oned():
+            d, c2 = step_fn(params, cache, zk)
+            return float(jnp.sum(d))
+
+        med = timeit(oned)
+        print(f"stream decode chunk (4 latents -> {nf}f): "
+              f"{med*1e3:.1f} ms -> {nf/med:.1f} frames/s steady-state")
+
 
 if __name__ == "__main__":
     main()
