@@ -59,3 +59,27 @@ def test_conv_impls_match(model):
     finally:
         conv_mod.set_conv_impl(impl)
     np.testing.assert_allclose(np.asarray(zp1), np.asarray(zp2), atol=2e-5)
+
+
+def test_parity_upsample_matches_unfused():
+    """The channel-packed parity fast path of TimeUpsampleRes2x (nearest,
+    causal) must equal the materialize-then-conv reference path exactly,
+    for both stream-start pad modes (v1.0 zero / v1.1 replicate)."""
+    import vidtok_tpu.modules.blocks as B
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 8, 8, 16), jnp.float32)
+    saved = B._PARITY_UPSAMPLE
+    try:
+        for pad in ("zero", "replicate"):
+            m = B.TimeUpsampleRes2x(16, causal=True, first_pad_mode=pad)
+            v = m.init(jax.random.PRNGKey(0), x)
+            B._PARITY_UPSAMPLE = False
+            y_ref = m.apply(v, x)
+            B._PARITY_UPSAMPLE = True
+            y_par = m.apply(v, x)
+            assert y_ref.shape == y_par.shape
+            np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_par),
+                                       atol=2e-6)
+    finally:
+        B._PARITY_UPSAMPLE = saved
