@@ -123,17 +123,15 @@ def main():
 
     start_step = 0
     if args.resume_from_checkpoint:
-        path, step = args.resume_from_checkpoint, None
-        import re as _re
-
-        m = _re.search(r"step_(\d+)", path)
-        step = int(m.group(1)) if m else 0
+        path = args.resume_from_checkpoint
     else:
-        path, step = latest_checkpoint(ckptdir)
+        path, _ = latest_checkpoint(ckptdir)
     if path is not None:
         print(f"[train] resuming from {path}")
         state = restore_train_state(path, jax.device_get(state))
-        start_step = step
+        # the restored optimizer step is the ground truth (a path regex can
+        # disagree with the state and skew max_steps/ckpt naming)
+        start_step = int(jax.device_get(state.step))
     state = trainer.shard_state(state)
 
     metrics = MetricLogger(

@@ -83,3 +83,45 @@ def test_parity_upsample_matches_unfused():
                                        atol=2e-6)
     finally:
         B._PARITY_UPSAMPLE = saved
+
+def test_temporal_resblock_conv2_zero_init():
+    """Reference zero_init (model_3dcausal.py:460-462): conv2 of the
+    temporal resblock starts as identity — kernel AND bias zero."""
+    import vidtok_tpu.modules.blocks as B
+
+    x = jnp.zeros((1, 4, 8, 8, 16), jnp.float32)
+    for causal in (True, False):
+        m = B.ResnetBlockTemporal(16, causal=causal, norm_type="layernorm")
+        v = m.init(jax.random.PRNGKey(0), x)
+        c2 = v["params"]["conv2"]
+        assert float(jnp.abs(c2["kernel"]).max()) == 0.0
+        assert float(jnp.abs(c2["bias"]).max()) == 0.0
+        # conv1 must NOT be zero-init
+        assert float(jnp.abs(v["params"]["conv1"]["kernel"]).max()) > 0.0
+        # zero conv2 => block output == input at init
+        xr = jnp.asarray(np.random.RandomState(1)
+                         .randn(1, 4, 8, 8, 16).astype("float32"))
+        np.testing.assert_allclose(np.asarray(m.apply(v, xr)), np.asarray(xr),
+                                   atol=1e-6)
+
+
+def test_fused_temporal_odd_spatial_fallback():
+    """H*W with no aligned tile (e.g. 9x9=81 -> fallback chain ends at
+    tile_s where 81 % tile_s != 0) must fall back to the unfused path
+    instead of leaving output tail uninitialized."""
+    import vidtok_tpu.modules.blocks as B
+    from vidtok_tpu.ops.pallas.fused_temporal import fused_temporal_resblock
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 4, 9, 9, 16), jnp.float32)
+    m = B.ResnetBlockTemporal(16, causal=True, norm_type="layernorm")
+    v = m.init(jax.random.PRNGKey(0), x)
+    # randomize conv2 so the block isn't trivially identity
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype("float32") * 0.1),
+        v["params"])
+    assert fused_temporal_resblock(x, p) is None  # 81 has no pow2 tile
+    y_fused = m.apply({"params": p}, x, fused=True)
+    y_ref = m.apply({"params": p}, x, fused=False)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=2e-5)

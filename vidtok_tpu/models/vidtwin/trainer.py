@@ -101,16 +101,16 @@ class VidTwinTrainer:
                     rngs={"sample": rng})
                 disc_vars = {"params": state.params_d,
                              "batch_stats": state.batch_stats_d}
-                loss, logs = generator_loss(
+                loss, logs, bs_g = generator_loss(
                     cfg=loss_cfg, lpips=lpips, lpips_params=lpips_params,
                     disc=disc, disc_vars=disc_vars,
                     last_layer_params=params_g["core"]["decoder"]["final_layer"]["linear"],
                     apply_last_layer=apply_last_layer,
                     logvar=params_g["logvar"], x=x, xrec=xrec,
                     pre_features=pre, reg_log=reg_log, global_step=step)
-                return loss, (xrec, logs)
+                return loss, (xrec, logs, bs_g)
 
-            (aeloss, (xrec, logs_g)), grads_g = jax.value_and_grad(
+            (aeloss, (xrec, logs_g, bs_g)), grads_g = jax.value_and_grad(
                 g_loss_fn, has_aux=True)(state.params_g)
             if not loss_cfg.learn_logvar:
                 grads_g["logvar"] = jnp.zeros_like(grads_g["logvar"])
@@ -120,7 +120,8 @@ class VidTwinTrainer:
 
             def d_loss_fn(params_d):
                 disc_vars = {"params": params_d,
-                             "batch_stats": state.batch_stats_d}
+                             "batch_stats": bs_g if bs_g is not None
+                             else state.batch_stats_d}
                 d_loss, logs_d, new_bs, lecam = discriminator_loss(
                     cfg=loss_cfg, disc=disc, disc_vars=disc_vars, x=x,
                     xrec=xrec, global_step=step,

@@ -98,11 +98,15 @@ class ResnetBlockTemporal(nn.Module):
                 and self.causal and not self.is_initializing()
                 and self.norm_type == "layernorm" and self.dropout == 0.0
                 and in_ch == self.out_channels):
-            # Pallas fused path (inference): one VMEM-resident pass
+            # Pallas fused path (inference): one VMEM-resident pass.
+            # Returns None when H*W admits no aligned spatial tile (odd
+            # sizes) — fall through to the unfused path in that case.
             from ..ops.pallas.fused_temporal import fused_temporal_resblock
 
-            return fused_temporal_resblock(
+            y = fused_temporal_resblock(
                 x, self.variables["params"], self.first_pad_mode)
+            if y is not None:
+                return y
         stream = dict(streaming=streaming, first_chunk=first_chunk,
                       use_cache_offset=use_cache_offset)
 
@@ -110,10 +114,12 @@ class ResnetBlockTemporal(nn.Module):
             if self.causal:
                 m = CausalConv1d(
                     features, k, first_pad_mode=self.first_pad_mode,
-                    cache_offset=self.cache_offset, name=name)
+                    cache_offset=self.cache_offset, zero_init=zero_init,
+                    name=name)
                 return lambda v: m(v, **stream)
             # torch Conv1d(k=3, padding=1) == symmetric time pad
-            m = Conv3d(features, (k, 1, 1), padding=((k - 1) // 2, 0, 0), name=name)
+            m = Conv3d(features, (k, 1, 1), padding=((k - 1) // 2, 0, 0),
+                       zero_init=zero_init, name=name)
             return lambda v: m(v)
 
         nmode = "position" if self.causal else "column"
@@ -433,16 +439,19 @@ class TimeUpsampleRes2x(nn.Module):
 
 # Parity fast path for the nearest-mode blended temporal upsample. Default
 # on (exact; covered by the golden parity tests). VIDTOK_PARITY_UPSAMPLE=0
-# to disable. An earlier two-phase-convs + jnp.stack interleave variant was
-# SLOWER (59.3 vs 61.4 fps — interleave copies ate the MAC saving); this
-# channel-packed single-conv form avoids the copies.
+# to disable. Variant history (all microbenched on v5e, level-1 shapes —
+# tools/microbench_upsample.py): two-phase convs + jnp.stack interleave
+# 59.3 fps e2e (interleave copies ate the MAC cut); channel-packed single
+# [3,3,2C,2C] conv 60.0 ms isolated; TWO C->2C convs + output-shift add
+# 58.0 ms isolated (no concat copy, keeps the narrow conv's higher MXU
+# efficiency) — the shipped form below.
 _PARITY_UPSAMPLE = _os.environ.get("VIDTOK_PARITY_UPSAMPLE", "1") == "1"
 
 
 def _parity_up2x_conv_blend(s, k, bias, alpha, first_pad_mode):
     """Full TimeUpsampleRes2x 'nearest' step — ``alpha * up2x(s) +
     (1-alpha) * causal_conv333(up2x(s))`` — computed from the HALF-RATE
-    frames by output parity, as ONE per-frame 2D conv.
+    frames by output parity, with 2/3 the MACs and no 2x intermediate.
 
     With U[2a] = U[2a+1] = s[a] and causal time pad 2:
       y[2a]   reads U[2a-2..2a]   = s[a-1], s[a-1], s[a] -> (K0+K1)s[a-1] + K2 s[a]
@@ -451,13 +460,14 @@ def _parity_up2x_conv_blend(s, k, bias, alpha, first_pad_mode):
     stream-start pad: zeros for v1.0, frame 0 for v1.1 — reference
     model_3dcausal.py:255-273 semantics, restated for the half-rate input.)
 
-    Both phases read the same pair (s[a-1], s[a]), so pack them as ONE dense
-    spatial conv: input channels [s_prev | s_cur] (2C), output channels
-    [even | odd] (2C), kernel [3,3,2C,2C] — a per-frame NHWC conv with zero
-    temporal extent, the optimal TPU conv shape, at 2/3 the MACs of the
-    conv-on-duplicated-frames form. The upsampled tensor is never
-    materialized; the residual blend runs on the packed [B,T,H,W,2,C]
-    layout and a single transpose interleaves the phases into time.
+    Both parities of output frame a are linear in (s[a-1], s[a]), so run TWO
+    per-frame C->2C convs on s — one with the "current-frame" taps, one with
+    the "previous-frame" taps — and add the prev-tap result shifted one
+    frame later. Each is a plain NHWC 2D conv (the optimal TPU conv shape);
+    keeping them C->2C rather than concatenating to one 2C->2C conv avoids
+    the input-concat copy and runs at higher MXU efficiency (156 vs 119
+    TFLOP/s measured). The residual blend runs on the packed
+    [B,T,H,W,2,C] layout; one transpose interleaves parity into time.
     """
     from .conv import _conv2d_frames
 
@@ -466,15 +476,13 @@ def _parity_up2x_conv_blend(s, k, bias, alpha, first_pad_mode):
     k = k.astype(dt)  # [3, 3, 3, C, C]
     k_prev = jnp.concatenate([k[0] + k[1], k[0]], axis=-1)  # [3,3,C,2C]
     k_cur = jnp.concatenate([k[2], k[1] + k[2]], axis=-1)
-    k_cat = jnp.concatenate([k_prev, k_cur], axis=-2)       # [3,3,2C,2C]
-
+    y_cur = _conv2d_frames(s, k_cur, (1, 1), [(1, 1), (1, 1)])
+    y_prev = _conv2d_frames(s, k_prev, (1, 1), [(1, 1), (1, 1)])
     if first_pad_mode == "replicate":
-        front = s[:, :1]
+        front = y_prev[:, :1]
     else:
-        front = jnp.zeros_like(s[:, :1])
-    s_prev = jnp.concatenate([front, s[:, :-1]], axis=1)
-    sc = jnp.concatenate([s_prev, s], axis=-1)              # [B,T,H,W,2C]
-    yc = _conv2d_frames(sc, k_cat, (1, 1), [(1, 1), (1, 1)])
-    yc = yc.reshape(b_, t, h, w, 2, c) + bias.astype(yc.dtype)
+        front = jnp.zeros_like(y_prev[:, :1])
+    y_prev = jnp.concatenate([front, y_prev[:, :-1]], axis=1)
+    yc = (y_cur + y_prev).reshape(b_, t, h, w, 2, c) + bias.astype(y_cur.dtype)
     y = alpha * s[:, :, :, :, None, :] + (1 - alpha) * yc.astype(dt)
     return jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(b_, 2 * t, h, w, c)

@@ -151,6 +151,7 @@ class Conv3d(nn.Module):
     stride: Sequence[int] = (1, 1, 1)
     padding: Sequence[int] = None  # default: (k-1)//2 each dim
     use_bias: bool = True
+    zero_init: bool = False  # zero kernel AND bias (reference zero_init)
 
     @nn.compact
     def __call__(self, x):
@@ -161,11 +162,15 @@ class Conv3d(nn.Module):
         else:
             pad = _triple(self.padding)
         cin = x.shape[-1]
+        kinit = (nn.initializers.zeros if self.zero_init
+                 else _kaiming_uniform_init(kt, kh, kw))
+        binit = (nn.initializers.zeros if self.zero_init
+                 else _bias_uniform_init(cin * kt * kh * kw))
         w = self.param(
-            "kernel", _kaiming_uniform_init(kt, kh, kw), (kt, kh, kw, cin, self.features), jnp.float32
+            "kernel", kinit, (kt, kh, kw, cin, self.features), jnp.float32
         )
         b = (
-            self.param("bias", _bias_uniform_init(cin * kt * kh * kw), (self.features,), jnp.float32)
+            self.param("bias", binit, (self.features,), jnp.float32)
             if self.use_bias
             else None
         )
@@ -246,6 +251,9 @@ class CausalConv1d(nn.Module):
     stride: int = 1
     first_pad_mode: str = "zero"
     cache_offset: int = 0
+    zero_init: bool = False  # zero kernel AND bias (reference zero_init,
+    # model_3dcausal.py:460-462: conv2 of the temporal resblock starts as
+    # identity)
 
     @nn.compact
     def __call__(self, x, *, streaming: bool = False, first_chunk: bool = True,
@@ -253,8 +261,12 @@ class CausalConv1d(nn.Module):
         k = self.kernel_size
         time_pad = (k - 1) + (1 - self.stride)
         cin = x.shape[-1]
-        w = self.param("kernel", _kaiming_uniform_init(k, 1, 1), (k, 1, 1, cin, self.features), jnp.float32)
-        b = self.param("bias", _bias_uniform_init(cin * k), (self.features,), jnp.float32)
+        kinit = (nn.initializers.zeros if self.zero_init
+                 else _kaiming_uniform_init(k, 1, 1))
+        binit = (nn.initializers.zeros if self.zero_init
+                 else _bias_uniform_init(cin * k))
+        w = self.param("kernel", kinit, (k, 1, 1, cin, self.features), jnp.float32)
+        b = self.param("bias", binit, (self.features,), jnp.float32)
 
         if time_pad > 0:
             if streaming:

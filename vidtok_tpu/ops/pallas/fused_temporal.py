@@ -96,6 +96,11 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
     s = h * w
     while s % tile_s != 0 and tile_s > 8:
         tile_s //= 2
+    if s % tile_s != 0:
+        # No aligned tile exists (e.g. odd H*W like 17x17=289): grid
+        # s//tile_s would leave the tail of the output uninitialized.
+        # Caller falls back to the unfused module path.
+        return None
     xf = x.reshape(b, t, s, c)
     dtype = x.dtype
     k1 = params["conv1"]["kernel"].reshape(3, c, c).astype(dtype)

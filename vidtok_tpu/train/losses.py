@@ -122,13 +122,19 @@ def generator_loss(
     last_layer_params, apply_last_layer, logvar, x, xrec, pre_features,
     reg_log, global_step, split="train",
 ):
-    """Returns (loss, logs).
+    """Returns (loss, logs, new_batch_stats).
 
     ``pre_features`` are the decoder's pre-last-layer activations and
     ``apply_last_layer(last_layer_params, pre) -> xrec`` re-applies only the
     final projection — the closure the adaptive weight differentiates
     (reference losses.py:137-148 takes autograd.grad w.r.t. the last-layer
-    weight only)."""
+    weight only).
+
+    ``new_batch_stats`` is the discriminator's BN running stats after the
+    generator pass (the reference keeps the discriminator in train mode
+    there, so its running stats update on the fake batch); the adaptive-
+    weight closure's extra disc application does NOT update stats (the
+    reference reuses the main pass's graph for those grads)."""
     xf = _fold_frames(x)
     rf = _fold_frames(xrec)
     rec = jnp.abs(xf - rf)
@@ -143,7 +149,9 @@ def generator_loss(
     nll_loss = jnp.sum(nll) / nll.shape[0]
     weighted_nll = nll_loss
 
-    logits_fake, _ = _apply_disc(disc, disc_vars, xrec, True, cfg)
+    logits_fake, new_bs = _apply_disc(disc, disc_vars, xrec, True, cfg)
+    if new_bs is not None:
+        new_bs = jax.lax.stop_gradient(new_bs)
     if cfg.gen_loss_cross_entropy:
         g_loss = non_saturate_gen_loss(logits_fake)
     else:
@@ -205,7 +213,7 @@ def generator_loss(
             loss = loss + w * reg_log[k]
             logs[f"{split}/{k}"] = reg_log[k]
     logs[f"{split}/total_loss"] = loss
-    return loss, logs
+    return loss, logs, new_bs
 
 
 def discriminator_loss(

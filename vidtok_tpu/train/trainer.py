@@ -157,7 +157,7 @@ class VidTokTrainer:
                 )
                 disc_vars = {"params": state.params_d,
                              "batch_stats": state.batch_stats_d}
-                loss, logs = generator_loss(
+                loss, logs, bs_g = generator_loss(
                     cfg=loss_cfg, lpips=lpips, lpips_params=lpips_params,
                     disc=disc, disc_vars=disc_vars,
                     last_layer_params=params_g["core"]["decoder"]["conv_out"],
@@ -165,9 +165,9 @@ class VidTokTrainer:
                     logvar=params_g["logvar"], x=x, xrec=xrec,
                     pre_features=pre, reg_log=reg_log, global_step=step,
                 )
-                return loss, (xrec, logs)
+                return loss, (xrec, logs, bs_g)
 
-            (aeloss, (xrec, logs_g)), grads_g = jax.value_and_grad(
+            (aeloss, (xrec, logs_g, bs_g)), grads_g = jax.value_and_grad(
                 g_loss_fn, has_aux=True)(state.params_g)
             grads_g = self._grad_mask(grads_g)
             updates_g, new_opt_g = opt_g.update(grads_g, state.opt_state_g,
@@ -175,8 +175,11 @@ class VidTokTrainer:
             new_params_g = optax.apply_updates(state.params_g, updates_g)
 
             def d_loss_fn(params_d):
+                # generator-pass BN running stats feed the disc step
+                # (reference train-mode ordering: fake_g -> real -> fake_d)
                 disc_vars = {"params": params_d,
-                             "batch_stats": state.batch_stats_d}
+                             "batch_stats": bs_g if bs_g is not None
+                             else state.batch_stats_d}
                 d_loss, logs_d, new_bs, lecam = discriminator_loss(
                     cfg=loss_cfg, disc=disc, disc_vars=disc_vars, x=x,
                     xrec=xrec, global_step=step,
