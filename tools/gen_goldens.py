@@ -424,6 +424,78 @@ def gen_vidtwin():
     ))
 
 
+def gen_lpips():
+    """LPIPS numerical-parity fixture (reference lpips.py:61-172).
+
+    torchvision is unavailable here, so stub ``torchvision.models.vgg16``
+    with the standard VGG16 'features' Sequential (identical module layout
+    and state-dict keys) under RANDOM weights, and skip the vgg.pth
+    download by patching load_from_pretrained. The fixture then carries the
+    exact tensors the real conversion flow would see: a torchvision-style
+    features state dict + lin-head state dict + input pair + the reference
+    LPIPS distance. The JAX test pushes the state dicts through
+    tools/convert_lpips.convert() and asserts distance parity — validating
+    module AND converter, so real weights drop in unchanged when available.
+    """
+    tv = _mkmod("torchvision")
+    tvm = _mkmod("torchvision.models")
+
+    def _make_features():
+        plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, cin = [], 3
+        for v in plan:
+            if v == "M":
+                layers.append(torch.nn.MaxPool2d(2, 2))
+            else:
+                layers.append(torch.nn.Conv2d(cin, v, 3, padding=1))
+                layers.append(torch.nn.ReLU(inplace=True))
+                cin = v
+        return torch.nn.Sequential(*layers)
+
+    holder = {}
+
+    class _VGG(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = _make_features()
+
+    def vgg16(pretrained=True, **kw):
+        m = _VGG()
+        g = torch.Generator().manual_seed(1234)
+        with torch.no_grad():
+            for p in m.parameters():
+                p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+        holder["features_sd"] = {k: v.clone()
+                                 for k, v in m.features.state_dict().items()}
+        return m
+
+    tvm.vgg16 = vgg16
+    tv.models = tvm
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tvm
+
+    from vidtok.modules import lpips as reflp
+
+    reflp.LPIPS.load_from_pretrained = lambda self, name="vgg_lpips": None
+    model = reflp.LPIPS(use_dropout=True).eval()
+    g = torch.Generator().manual_seed(77)
+    with torch.no_grad():
+        for k in range(5):
+            w = getattr(model, f"lin{k}").model[1].weight
+            w.copy_(torch.rand(w.shape, generator=g))  # positive heads
+
+    x = (randn(4, 3, 64, 64, seed=3) * 0.4).clamp(-1, 1)
+    y = (x + randn(4, 3, 64, 64, seed=4) * 0.15).clamp(-1, 1)
+    with torch.no_grad():
+        dist = model(x, y)
+
+    sd = {f"features.{k}": v for k, v in holder["features_sd"].items()}
+    sd.update({k: v for k, v in model.state_dict().items()
+               if k.startswith("lin")})
+    save("lpips", sd, dict(x=x.numpy(), y=y.numpy(), dist=dist.numpy()))
+
+
 def main():
     print("generating goldens ->", OUT)
     gen_encdec("causal_v1_kl", m1.EncoderCausal3DPadding,
@@ -452,6 +524,7 @@ def main():
                          tempo_ds=[1], tempo_us=[1],
                          time_downsample_factor=2))
     gen_fsq()
+    gen_lpips()
     gen_v11_tiled()
     gen_metrics()
     gen_vidtwin()
