@@ -134,8 +134,21 @@ def main():
         start_step = int(jax.device_get(state.step))
     state = trainer.shard_state(state)
 
+    # wandb resume-by-run-id (reference main.py:711-720: a resumed run
+    # re-attaches to its original wandb run)
+    wandb_id_file = os.path.join(rundir, "wandb_id.txt")
+    wandb_run_id = None
+    if (args.resume or args.resume_from_checkpoint) and os.path.exists(wandb_id_file):
+        with open(wandb_id_file) as f:
+            wandb_run_id = f.read().strip() or None
+        if wandb_run_id:
+            print(f"[train] resuming wandb run {wandb_run_id}")
     metrics = MetricLogger(
-        rundir, wandb_project=args.wandb_project if args.wandb else None)
+        rundir, wandb_project=args.wandb_project if args.wandb else None,
+        wandb_run_id=wandb_run_id)
+    if metrics.wandb_run_id:
+        with open(wandb_id_file, "w") as f:
+            f.write(metrics.wandb_run_id)
     img_logger = ImageVideoLogger(rundir,
                                   batch_frequency=tcfg.get("log_images_every",
                                                            5000))
@@ -198,7 +211,16 @@ def main():
                     p = save_train_state(ckptdir, state, gstep)
                     print(f"[train] checkpoint -> {p}")
                 if val_every and gstep % val_every == 0 and val_loader is not None:
-                    _validate(trainer, state, val_loader, metrics, gstep)
+                    monitor_val = _validate(trainer, state, val_loader,
+                                            metrics, gstep)
+                    # top-k-by-monitor retention (reference ModelCheckpoint
+                    # monitor='val/rec_loss', main.py:861-880)
+                    if monitor_val is not None and trainer.meta.get("monitor"):
+                        p = save_train_state(ckptdir, state, gstep,
+                                             monitor_value=monitor_val)
+                        print(f"[train] monitor checkpoint "
+                              f"({trainer.meta['monitor']}="
+                              f"{monitor_val:.4f}) -> {p}")
                 if gstep >= max_steps:
                     break
             epoch += 1
@@ -210,22 +232,30 @@ def main():
 
 
 def _validate(trainer, state, val_loader, metrics, gstep, max_batches=8):
-    """Validation PSNR/SSIM on training weights, plus the EMA weights when
-    present (reference ema_scope validation, autoencoder.py:300-341)."""
+    """Validation PSNR/SSIM + rec_loss on training weights, plus the EMA
+    weights when present (reference ema_scope validation,
+    autoencoder.py:300-341). Returns the non-EMA val/rec_loss (the
+    ``monitor`` value, reference configs' monitor: val/rec_loss)."""
     import jax
 
     variants = {"": jax.device_get(state.params_g)["core"]}
     if state.ema_params is not None:
         variants["_ema"] = jax.device_get(state.ema_params[0])["core"]
 
+    monitor = None
     for postfix, params in variants.items():
-        psnr, ssim = _eval_params(trainer, params, val_loader, max_batches)
+        psnr, ssim, rec = _eval_params(trainer, params, val_loader,
+                                       max_batches)
         if psnr is None:
             continue
+        if postfix == "":
+            monitor = rec
         metrics.log_scalars(gstep, {f"val{postfix}/psnr": psnr,
-                                    f"val{postfix}/ssim": ssim})
+                                    f"val{postfix}/ssim": ssim,
+                                    f"val{postfix}/rec_loss": rec})
         print(f"[val{postfix}] step {gstep}: PSNR {psnr:.3f} "
-              f"SSIM {ssim:.4f}")
+              f"SSIM {ssim:.4f} rec_loss {rec:.4f}")
+    return monitor
 
 
 def _eval_params(trainer, params, val_loader, max_batches):
@@ -233,8 +263,9 @@ def _eval_params(trainer, params, val_loader, max_batches):
     import jax.numpy as jnp
 
     from vidtok_tpu.ops.metrics import compute_psnr, compute_ssim
+    from vidtok_tpu.train.losses import _fold_frames, perceptual_loss
 
-    psnrs, ssims = [], []
+    psnrs, ssims, recs = [], [], []
     for i, batch in enumerate(val_loader.epoch(0)):
         if i >= max_batches:
             break
@@ -246,6 +277,14 @@ def _eval_params(trainer, params, val_loader, max_batches):
         xrec = core.apply({"params": params}, z, method=type(core).decode)
         if xrec.shape[1] != x.shape[1]:
             xrec = xrec[:, -x.shape[1]:]
+        # val/rec_loss: L1 + perceptual (reference losses.py:174-176) — the
+        # ModelCheckpoint monitor value
+        rec = jnp.abs(_fold_frames(x) - _fold_frames(xrec))
+        if trainer.loss_cfg.perceptual_weight > 0:
+            rec = rec + trainer.loss_cfg.perceptual_weight * perceptual_loss(
+                trainer.lpips, trainer.lpips_params,
+                _fold_frames(x), _fold_frames(xrec))
+        recs.append(float(jnp.mean(rec)))
         a = (np.asarray(x) + 1) / 2
         b = (np.clip(np.asarray(xrec), -1, 1) + 1) / 2
         # metrics expect NCTHW
@@ -254,8 +293,8 @@ def _eval_params(trainer, params, val_loader, max_batches):
         psnrs.append(float(compute_psnr(a, b)))
         ssims.append(float(compute_ssim(a, b)))
     if not psnrs:
-        return None, None
-    return float(np.mean(psnrs)), float(np.mean(ssims))
+        return None, None, None
+    return float(np.mean(psnrs)), float(np.mean(ssims)), float(np.mean(recs))
 
 
 if __name__ == "__main__":

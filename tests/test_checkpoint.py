@@ -68,6 +68,48 @@ def test_checkpoint_pruning(tmp_path):
     assert sorted(all_checkpoint_steps(ckdir)) == [3, 4, 5]
 
 
+def _tiny_state():
+    from vidtok_tpu.train.state import TrainState, make_optimizer
+
+    params = {"w": jnp.zeros((2,))}
+    opt = make_optimizer(1e-3)
+    return TrainState(
+        step=jnp.int32(0), params_g=params, params_d=params,
+        batch_stats_d={}, opt_state_g=opt.init(params),
+        opt_state_d=opt.init(params), lecam_ema_real=jnp.float32(0),
+        lecam_ema_fake=jnp.float32(0), ema_params=None)
+
+
+def test_monitor_checkpoint_retention(tmp_path):
+    """Top-k-by-monitor + save_last (reference ModelCheckpoint with
+    monitor='val/rec_loss', save_top_k=3, main.py:861-880)."""
+    from vidtok_tpu.utils.checkpoint import (all_checkpoint_steps,
+                                             best_checkpoint,
+                                             save_train_state)
+
+    state = _tiny_state()
+    ckdir = str(tmp_path / "ck")
+    # monitor values: best at steps 30 (0.1), 10 (0.2), 50 (0.3)
+    for s, v in ((10, 0.2), (20, 0.5), (30, 0.1), (40, 0.4), (50, 0.3)):
+        save_train_state(ckdir, state, s, keep=3, monitor_value=v)
+    assert sorted(all_checkpoint_steps(ckdir)) == [10, 30, 50]
+    path, step = best_checkpoint(ckdir)
+    assert step == 30 and path.endswith("step_00000030")
+
+    # a later monitor-less periodic save is retained as "last" alongside
+    # the top-3-by-monitor set
+    save_train_state(ckdir, state, 60, keep=3)
+    assert sorted(all_checkpoint_steps(ckdir)) == [10, 30, 50, 60]
+    # the next periodic save rolls the previous "last" away
+    save_train_state(ckdir, state, 70, keep=3)
+    assert sorted(all_checkpoint_steps(ckdir)) == [10, 30, 50, 70]
+    # a new best displaces the worst of the top-3 (50 @ 0.3)
+    save_train_state(ckdir, state, 80, keep=3, monitor_value=0.05)
+    assert sorted(all_checkpoint_steps(ckdir)) == [10, 30, 80]
+    path, step = best_checkpoint(ckdir)
+    assert step == 80
+
+
 def test_all_configs_translate():
     """Every shipped config builds a core + trainer-visible loss config."""
     from vidtok_tpu.config import load_config

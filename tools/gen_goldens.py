@@ -424,6 +424,151 @@ def gen_vidtwin():
     ))
 
 
+def _neutral_casts():
+    """Neutralize the reference STBlock's fp64/bf16 cast dance for CPU
+    oracles (see gen_vidtwin); returns the original Tensor.to."""
+    _orig_to = torch.Tensor.to
+
+    def _to32(self, *args, **kwargs):
+        args = tuple(torch.float32 if a in (torch.float64, torch.bfloat16)
+                     else a for a in args)
+        if kwargs.get("dtype") in (torch.float64, torch.bfloat16):
+            kwargs["dtype"] = torch.float32
+        return _orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = _to32
+    return _orig_to
+
+
+def gen_vidtwin_ablations():
+    """Parity fixtures for the VidTwin ablation ladder (reference
+    vidtwin_ae.py:282-1216): Qformer (3-qformer), Compact (both
+    retain/repeat head variants), Sym, SymVid."""
+    _install_vidtwin_stubs()
+    losses_stub = _mkmod("vidtok.modules.losses")
+
+    class GeneralLPIPSWithDiscriminator(torch.nn.Module):
+        def __init__(self, **kwargs):
+            super().__init__()
+
+    losses_stub.GeneralLPIPSWithDiscriminator = GeneralLPIPSWithDiscriminator
+    sys.modules.setdefault("vidtok.modules.losses", losses_stub)
+
+    from vidtwin.models import vidtwin_ae as vta
+
+    def stt_cfg(cls):
+        return AttrDict(target=f"vidtwin.modules.st_transformer.{cls}",
+                        params=AttrDict(in_channels=3, input_size=[4, 32, 32],
+                                        patch_size=[1, 8, 8], hidden_size=64,
+                                        depth=2, num_heads=4,
+                                        temporal_casual=False,
+                                        enable_flashattn=False))
+
+    def q_cfg(tokens, qh=32):
+        return AttrDict(target="vidtwin.modules.qformer.MyQformerInterface",
+                        params=AttrDict(num_query_tokens=tokens,
+                                        query_hidden_size=qh,
+                                        encoder_hidden_size=64))
+
+    reg_cfg = AttrDict(
+        target="vidtok.modules.regularizers.DiagonalGaussianRegularizer",
+        params=AttrDict(sample=False))
+    loss_cfg = AttrDict(
+        target="vidtok.modules.losses.GeneralLPIPSWithDiscriminator",
+        params=AttrDict())
+    common = dict(encoder_config=stt_cfg("STTEncoder"),
+                  decoder_config=stt_cfg("STTDecoder"),
+                  loss_config=loss_cfg, regularizer_config=reg_cfg)
+
+    _orig_to = _neutral_casts()
+    x = randn(2, 3, 4, 32, 32, seed=82)
+
+    def run(name, model, n_latents):
+        model = reinit(model.eval(), 81)
+        with torch.no_grad():
+            out = model(x)
+        z, dec = out[0], out[1]
+        latents = out[3:3 + n_latents]
+        save(name, model.state_dict(), dict(
+            x=x.numpy(), z=z.numpy(), dec=dec.numpy(),
+            **{f"lat{i}": l.numpy() for i, l in enumerate(latents)}))
+
+    torch.manual_seed(9)
+    run("vidtwin_abl_qformer", vta.VidAutoEncoderQformer(
+        temporal_qformer_config=q_cfg(4),
+        height_qformer_config=q_cfg(2),
+        width_qformer_config=q_cfg(2), **common), 3)
+    torch.manual_seed(10)
+    run("vidtwin_abl_compact", vta.VidAutoEncoderQformerCompact(
+        temporal_qformer_config=q_cfg(4), space_qformer_config=q_cfg(3),
+        temporal_down_dim=8, retain_num_frames=True,
+        repeat_for_decoder=False, **common), 2)
+    torch.manual_seed(11)
+    run("vidtwin_abl_compact_alt", vta.VidAutoEncoderQformerCompact(
+        temporal_qformer_config=q_cfg(4), space_qformer_config=q_cfg(3),
+        temporal_down_dim=8, retain_num_frames=False,
+        repeat_for_decoder=True, **common), 2)
+    torch.manual_seed(12)
+    run("vidtwin_abl_sym", vta.VidAutoEncoderQformerCompactSym(
+        temporal_qformer_config=q_cfg(4), space_qformer_config=q_cfg(3),
+        init_ch=16, cont_num_blocks=1, expect_ch=8,
+        retain_num_frames=True, **common), 2)
+    torch.manual_seed(13)
+    run("vidtwin_abl_symvid", vta.VidAutoEncoderQformerCompactSymVid(
+        temporal_qformer_config=q_cfg(4), expect_ch=8, cont_num_blocks=1,
+        downsample_motion=True, motion_num_blocks=1, d_dim=8, init_ch=16,
+        **common), 3)
+    torch.Tensor.to = _orig_to
+
+
+def gen_lr_schedules():
+    """LR traces of the reference VidTwin schedulers
+    (vidtwin_ae.py:1504-1567) + HF inverse_sqrt, recorded per training
+    step, as parity oracles for vidtok_tpu/models/vidtwin/schedules.py."""
+    _install_vidtwin_stubs()
+    losses_stub = _mkmod("vidtok.modules.losses")
+    losses_stub.GeneralLPIPSWithDiscriminator = torch.nn.Module
+    sys.modules.setdefault("vidtok.modules.losses", losses_stub)
+
+    from vidtwin.models import vidtwin_ae as vta
+
+    total, n = 200, 200
+
+    def trace(make):
+        p = torch.nn.Parameter(torch.zeros(1))
+        values = []
+        opt = torch.optim.SGD([p], lr=1.0)
+        sched = make(opt)
+        for i in range(n):
+            values.append(opt.param_groups[0]["lr"])
+            if i < n - 1:  # reference ConstantWarmup has no lr past total
+                opt.step()
+                sched.step()
+        return np.asarray(values, np.float64)
+
+    arrays = dict(
+        linear=trace(lambda o: vta.LinearWarmupScheduler(
+            o, warmup_steps=20, total_steps=total, target_lr=3e-4)),
+        constant=trace(lambda o: vta.ConstantWarmupScheduler(
+            o, warmup_steps=20, total_steps=total)),
+        cosine=trace(lambda o: vta.LambdaWarmUpCosineScheduler(
+            o, lr_min=1e-6, lr_max=2e-4, lr_start=1e-8,
+            warmup_steps=25, total_steps=total)),
+        cosine_rate=trace(lambda o: vta.LambdaWarmUpCosineScheduler(
+            o, lr_min=0.0, lr_max=1e-4, lr_start=0.0,
+            warmup_rate=0.1, total_steps=total)),
+    )
+    try:
+        import transformers
+
+        arrays["inverse_sqrt"] = trace(
+            lambda o: transformers.get_inverse_sqrt_schedule(
+                o, num_warmup_steps=30))
+    except Exception:
+        pass
+    save("lr_schedules", {}, arrays)
+
+
 def gen_lpips():
     """LPIPS numerical-parity fixture (reference lpips.py:61-172).
 
@@ -528,6 +673,8 @@ def main():
     gen_v11_tiled()
     gen_metrics()
     gen_vidtwin()
+    gen_vidtwin_ablations()
+    gen_lr_schedules()
     gen_discriminators()
     print("done")
 

@@ -384,12 +384,17 @@ class VideoTokenizer:
             rep = NamedSharding(mesh, P())
             self._jit_cache[key] = jax.jit(
                 fn, in_shardings=(rep, x_sharding, rep))
-        params = jax.device_put(
-            self.params, NamedSharding(mesh, P()))
+        # params are placed once per mesh and reused across calls (a per-call
+        # device_put would re-push the full tree over PCIe every step)
+        pkey = ("sharded_params", id(mesh))
+        if pkey not in self._jit_cache:
+            self._jit_cache[pkey] = jax.device_put(
+                self.params, NamedSharding(mesh, P()))
         xs = jax.device_put(jnp.asarray(x),
                             NamedSharding(mesh, P(None, None, None, axes,
                                                   None)))
-        return self._jit_cache[key](params, xs, self._next_rng())
+        return self._jit_cache[key](self._jit_cache[pkey], xs,
+                                    self._next_rng())
 
     # -- tiled / streaming inference ----------------------------------------
     # Reference: autoencoder_v1_1.py:218-331. Chunk schedule: first chunk is

@@ -102,6 +102,61 @@ class Attention(nn.Module):
         return out
 
 
+class GroupAttention(nn.Module):
+    """Windowed attention: the sequence is split into contiguous groups of
+    ``group_size`` tokens and attention runs within each group (reference
+    GroupAttention, st_transformer.py:142-212). The reference's real
+    semantics are its flash path (`flash_attn_func` on [B*G, group_size]
+    with the causal flag); its non-flash branch is dead code with an
+    ill-formed rearrange (:205-209, axis `S` undefined on the right), so we
+    match the flash behavior, causal included."""
+
+    dim: int
+    num_heads: int = 8
+    group_size: int = 4
+    zero_init_proj: bool = False
+    attn_dtype: Optional[jnp.dtype] = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, causal: bool = False):
+        b, n, c = x.shape
+        assert n % self.group_size == 0, (
+            f"sequence length {n} not divisible by group_size {self.group_size}")
+        g = n // self.group_size
+        h = self.num_heads
+        hd = c // h
+        qkv = nn.Dense(3 * c, use_bias=True,
+                       kernel_init=nn.initializers.xavier_uniform(),
+                       name="qkv")(x)
+        qkv = qkv.reshape(b * g, self.group_size, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        dt = self.attn_dtype or x.dtype
+        q = q.astype(dt) * (hd ** -0.5)
+        k = k.astype(dt)
+        v = v.astype(dt)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        if causal:
+            mask = jnp.tril(jnp.ones((self.group_size, self.group_size), bool))
+            attn = jnp.where(mask, attn, -jnp.inf)
+        attn = jax.nn.softmax(attn, axis=-1).astype(dt)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+        proj_init = (nn.initializers.zeros if self.zero_init_proj
+                     else nn.initializers.xavier_uniform())
+        out = nn.Dense(c, kernel_init=proj_init, name="proj")(out.astype(x.dtype))
+        return out
+
+
+def drop_path(x, rate: float, deterministic: bool, rng):
+    """Stochastic depth on the residual branch: per-sample drop with rescale
+    (reference timm DropPath, st_transformer.py:306)."""
+    if rate == 0.0 or deterministic:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep,
+                                (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 class Mlp(nn.Module):
     hidden: int
 
@@ -128,10 +183,13 @@ class STBlock(nn.Module):
     mlp_ratio: float = 4.0
     temporal_causal: bool = True
     no_temporal: bool = False
+    temporal_group: bool = False
+    group_size: int = 1
+    drop_path_rate: float = 0.0
     attn_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, tpe=None):
+    def __call__(self, x, tpe=None, deterministic: bool = True):
         """x: [B, T, S, C]."""
         b, t, s, c = x.shape
         table = self.param(
@@ -140,26 +198,45 @@ class STBlock(nn.Module):
             (6, c))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = table
 
+        use_dp = self.drop_path_rate > 0.0 and not deterministic
+
+        def dp(branch):
+            if not use_dp:
+                return branch
+            return drop_path(branch, self.drop_path_rate, deterministic,
+                             self.make_rng("dropout"))
+
         x_m = t2i_modulate(_layer_norm_noaffine(x), shift_msa, scale_msa)
 
         # spatial branch
         x_s = x_m.reshape(b * t, s, c)
         x_s = Attention(c, self.num_heads, attn_dtype=self.attn_dtype,
                         name="attn")(x_s, causal=False)
-        x = x + gate_msa * x_s.reshape(b, t, s, c)
+        x = x + dp(gate_msa * x_s.reshape(b, t, s, c))
 
         if not self.no_temporal:
             x_t = jnp.swapaxes(x, 1, 2).reshape(b * s, t, c)
             if tpe is not None:
                 x_t = x_t + tpe
-            x_t = Attention(c, self.num_heads, zero_init_proj=True,
-                            attn_dtype=self.attn_dtype,
-                            name="attn_temp")(x_t, causal=self.temporal_causal)
+            # windowed temporal attention under temporal_group (reference
+            # STBlock :312-320 swaps in GroupAttention for attn_temp)
+            if self.temporal_group:
+                x_t = GroupAttention(c, self.num_heads,
+                                     group_size=self.group_size,
+                                     zero_init_proj=True,
+                                     attn_dtype=self.attn_dtype,
+                                     name="attn_temp")(
+                    x_t, causal=self.temporal_causal)
+            else:
+                x_t = Attention(c, self.num_heads, zero_init_proj=True,
+                                attn_dtype=self.attn_dtype,
+                                name="attn_temp")(x_t,
+                                                  causal=self.temporal_causal)
             x_t = jnp.swapaxes(x_t.reshape(b, s, t, c), 1, 2)
-            x = x + gate_msa * x_t
+            x = x + dp(gate_msa * x_t)
 
         h = t2i_modulate(_layer_norm_noaffine(x), shift_mlp, scale_mlp)
-        x = x + gate_mlp * Mlp(int(c * self.mlp_ratio), name="mlp")(h)
+        x = x + dp(gate_mlp * Mlp(int(c * self.mlp_ratio), name="mlp")(h))
         return x
 
 
@@ -219,6 +296,9 @@ class STTransformer(nn.Module):
     mlp_ratio: float = 4.0
     temporal_causal: bool = True
     no_temporal: bool = False
+    temporal_group: bool = False
+    group_size: int = 1
+    drop_path: float = 0.0
     space_scale: float = 1.0
     time_scale: float = 1.0
     attn_dtype: Optional[jnp.dtype] = jnp.bfloat16
@@ -243,20 +323,28 @@ class STTransformer(nn.Module):
             self.hidden_size, self.num_temporal, scale=self.time_scale),
             jnp.float32)
 
-    def run_blocks(self, x):
+    def run_blocks(self, x, deterministic: bool = True):
         """x: [B, N=(T S), C] -> same."""
         b = x.shape[0]
         t, s = self.num_temporal, self.num_spatial
         x = x.reshape(b, t, s, self.hidden_size)
         x = x + self.spatial_pos_embed()[None, None]
         tpe = self.temporal_pos_embed()[None]
+        # per-block stochastic-depth rates: linspace(0, drop_path, depth)
+        # (reference st_transformer.py:523)
         for i in range(self.depth):
+            rate = (self.drop_path * i / max(self.depth - 1, 1)
+                    if self.drop_path > 0 else 0.0)
             x = STBlock(self.hidden_size, self.num_heads, d_s=s, d_t=t,
                         mlp_ratio=self.mlp_ratio,
                         temporal_causal=self.temporal_causal,
                         no_temporal=self.no_temporal,
+                        temporal_group=self.temporal_group,
+                        group_size=self.group_size,
+                        drop_path_rate=rate,
                         attn_dtype=self.attn_dtype,
-                        name=f"blocks_{i}")(x, tpe if i == 0 else None)
+                        name=f"blocks_{i}")(x, tpe if i == 0 else None,
+                                            deterministic=deterministic)
         return x.reshape(b, t * s, self.hidden_size)
 
 
@@ -265,10 +353,10 @@ class STTEncoder(STTransformer):
     (reference :665-673)."""
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         x = PatchEmbed3D(tuple(self.patch_size), self.hidden_size,
                          name="x_embedder")(x)
-        y = self.run_blocks(x)
+        y = self.run_blocks(x, deterministic=deterministic)
         t = self.num_temporal
         gh = self.input_size[1] // self.patch_size[1]
         gw = self.input_size[2] // self.patch_size[2]
@@ -281,10 +369,11 @@ class STTDecoder(STTransformer):
     modulated pre-linear activations for the adaptive GAN weight."""
 
     @nn.compact
-    def __call__(self, z, return_features: bool = False):
+    def __call__(self, z, return_features: bool = False,
+                 deterministic: bool = True):
         b, t, gh, gw, c = z.shape
         x = z.reshape(b, t * gh * gw, c)
-        y = self.run_blocks(x)
+        y = self.run_blocks(x, deterministic=deterministic)
         num_patch = int(np.prod(self.patch_size))
         final = T2IFinalLayer(num_patch, self.in_channels, name="final_layer")
         if return_features:

@@ -66,6 +66,13 @@ class VidTwinVAE(nn.Module):
     # training-time disentanglement: shuffle frames per sample before the
     # structure Q-Former (reference shuffle_content, vidtwin_ae.py:1436-1442)
     shuffle_content: bool = False
+    # vae=False is the SymVid (non-gaussian) ablation (reference
+    # VidAutoEncoderQformerCompactSymVid, vidtwin_ae.py:967-1216): latent
+    # heads emit expect_ch / d_dim directly and nothing is sampled
+    vae: bool = True
+    # decode-time content/motion gating default (reference
+    # partial_content_motion kwarg, vidtwin_ae.py:990)
+    partial_content_motion: str = "all"
 
     @property
     def hidden_dim(self):
@@ -87,7 +94,8 @@ class VidTwinVAE(nn.Module):
                                  name=f"content_down_{i}"))
         self.content_down = downs
         self.max_channels = ch
-        self.bottle_down = nn.Conv(2 * self.expect_ch, (3, 3), padding=1)
+        self.bottle_down = nn.Conv(
+            (2 if self.vae else 1) * self.expect_ch, (3, 3), padding=1)
         self.bottle_up = nn.Conv(self.max_channels, (3, 3), padding=1)
         ups = []
         for i in range(self.cont_num_blocks):
@@ -102,7 +110,8 @@ class VidTwinVAE(nn.Module):
         # dynamics (reference :1353-1373)
         self.motion_emb_1 = nn.Dense(self.hidden_dim)
         self.motion_emb_2 = nn.Dense(self.hidden_dim)
-        self.motion_head = nn.Conv(2 * self.d_dim, (3, 3), padding=1)
+        self.motion_head = nn.Conv(
+            (2 if self.vae else 1) * self.d_dim, (3, 3), padding=1)
         if self.downsample_motion:
             self.motion_down = [
                 nn.Conv(self.hidden_dim, (3, 3), strides=2, padding=1,
@@ -114,6 +123,9 @@ class VidTwinVAE(nn.Module):
     # -- helpers ------------------------------------------------------------
 
     def _regularize(self, params_2c, sample_override):
+        if not self.vae:
+            # SymVid: deterministic latent, no KL (reference :1178-1208)
+            return params_2c, jnp.float32(0.0)
         post = DiagonalGaussian(params_2c)
         do_sample = self.sample if sample_override is None else sample_override
         if do_sample:
@@ -223,9 +235,11 @@ class VidTwinVAE(nn.Module):
         vx_b = jnp.broadcast_to(vx[:, :, None], (b, f, hh, ww, self.hidden_dim))
         vy_b = jnp.broadcast_to(vy[:, :, :, None], (b, f, hh, ww, self.hidden_dim))
 
-        if only_part == "content":
+        part = only_part or (None if self.partial_content_motion == "all"
+                             else self.partial_content_motion)
+        if part == "content":
             cm = vt
-        elif only_part == "motion":
+        elif part == "motion":
             cm = vx_b + vy_b
         else:
             cm = vt + vx_b + vy_b
@@ -246,11 +260,13 @@ class VidTwinVAE(nn.Module):
 
 
 def build_vidtwin_from_config(model_cfg: dict):
-    """Translate a reference vidtwin YAML model section."""
+    """Translate a reference vidtwin YAML model section. Dispatches the full
+    ablation ladder by target class name (reference vidtwin_ae.py:282-1479);
+    the shipped config's ``...CompactSymVidVAE`` is the default."""
     p = model_cfg.get("params", model_cfg)
+    target = str(model_cfg.get("target", "")).rsplit(".", 1)[-1]
     enc = dict(p["encoder_config"].get("params") or {})
     dec = dict(p["decoder_config"].get("params") or {})
-    qf = dict(p["temporal_qformer_config"].get("params") or {})
 
     def stt(cls, d):
         return cls(
@@ -262,19 +278,70 @@ def build_vidtwin_from_config(model_cfg: dict):
             num_heads=d.get("num_heads", 12),
             mlp_ratio=d.get("mlp_ratio", 4.0),
             temporal_causal=d.get("temporal_casual", True),
+            temporal_group=d.get("temporal_group", False),
+            group_size=d.get("group_size", 1),
+            drop_path=d.get("drop_path", 0.0),
         )
 
-    model = VidTwinVAE(
-        encoder=stt(STTEncoder, enc),
-        decoder=stt(STTDecoder, dec),
-        qformer=QFormerInterface(
+    def qformer(key="temporal_qformer_config"):
+        qf = dict((p.get(key) or {}).get("params") or {})
+        return QFormerInterface(
             num_query_tokens=qf.get("num_query_tokens", 3),
             query_hidden_size=qf.get("query_hidden_size", 64),
             encoder_hidden_size=qf.get("encoder_hidden_size", 768),
             num_hidden_layers=qf.get("num_hidden_layers", 6),
             intermediate_size=qf.get("intermediate_size", 768),
             num_attention_heads=qf.get("num_attention_heads", 8),
-        ),
+        )
+
+    encoder, decoder = stt(STTEncoder, enc), stt(STTDecoder, dec)
+    meta = dict(kind="vidtwin", monitor=p.get("monitor"))
+
+    if target == "VidAutoEncoderQformer":
+        from .ablations import VidTwinQformer
+
+        return VidTwinQformer(
+            encoder=encoder, decoder=decoder,
+            temporal_qformer=qformer(),
+            height_qformer=qformer("height_qformer_config"),
+            width_qformer=qformer("width_qformer_config"),
+        ), meta
+    if target == "VidAutoEncoderQformerCompact":
+        from .ablations import VidTwinCompact
+
+        return VidTwinCompact(
+            encoder=encoder, decoder=decoder,
+            temporal_qformer=qformer(), space_qformer=qformer(
+                "space_qformer_config"),
+            retain_num_frames=p.get("retain_num_frames", True),
+            temporal_down_dim=p.get("temporal_down_dim", 32),
+            repeat_for_decoder=p.get("repeat_for_decoder", False),
+            partial_content_motion=p.get("partial_content_motion", "all"),
+            shuffle_content=p.get("shuffle_content", False),
+        ), meta
+    if target in ("VidAutoEncoderQformerCompactSym",
+                  "VidAutoEncoderQformerCompactSymDis"):
+        from .ablations import VidTwinSym
+
+        return VidTwinSym(
+            encoder=encoder, decoder=decoder,
+            temporal_qformer=qformer(), space_qformer=qformer(
+                "space_qformer_config"),
+            expect_ch=p.get("expect_ch", 4),
+            init_ch=p.get("init_ch", 128),
+            cont_num_blocks=p.get("cont_num_blocks", 2),
+            retain_num_frames=p.get("retain_num_frames", True),
+            partial_content_motion=p.get("partial_content_motion", "all"),
+            shuffle_content=p.get("shuffle_content", False),
+            dis=target.endswith("Dis"),
+            shuffle_ratio=p.get("shuffle_content_ratio", 0.5),
+        ), meta
+
+    # SymVid (non-VAE) and the shipped SymVidVAE share the module; the
+    # ``vae`` flag switches the gaussian heads off
+    model = VidTwinVAE(
+        encoder=encoder, decoder=decoder,
+        qformer=qformer(),
         expect_ch=p.get("expect_ch", 4),
         d_dim=p.get("d_dim", 16),
         init_ch=p.get("init_ch", 128),
@@ -282,8 +349,9 @@ def build_vidtwin_from_config(model_cfg: dict):
         motion_num_blocks=p.get("motion_num_blocks", 2),
         downsample_motion=p.get("downsample_motion", False),
         shuffle_content=p.get("shuffle_content", False),
+        vae=target != "VidAutoEncoderQformerCompactSymVid",
+        partial_content_motion=p.get("partial_content_motion", "all"),
         sample=(p.get("regularizer_config", {}).get("params", {}) or {}).get(
             "sample", True),
     )
-    meta = dict(kind="vidtwin", monitor=p.get("monitor"))
     return model, meta

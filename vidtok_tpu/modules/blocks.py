@@ -379,7 +379,8 @@ class TimeUpsampleRes2x(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, streaming: bool = False, first_chunk: bool = True,
-                 use_cache_offset: bool = False, **_):
+                 use_cache_offset: bool = False, deterministic: bool = True,
+                 **_):
         mix = self.param("mix_factor", nn.initializers.constant(self.mix_factor_init),
                          (1,), jnp.float32)
         alpha = nn.sigmoid(mix).astype(x.dtype)
@@ -393,10 +394,12 @@ class TimeUpsampleRes2x(nn.Module):
             # upsampled tensor; 1.5x fewer conv MACs (see the helper's
             # docstring). Profiled: the two upsample convs are 29% of
             # decoder device time at 79% MXU, so the MAC cut is the win.
+            # The Pallas tail has no VJP — inference (deterministic) only.
             k = self.variables["params"]["conv"]["kernel"]
             b = self.variables["params"]["conv"]["bias"]
             return _parity_up2x_conv_blend(x, k, b, alpha,
-                                           self.first_pad_mode)
+                                           self.first_pad_mode,
+                                           allow_pallas=deterministic)
 
         if self.interpolation_mode == "nearest":
             x = temporal_nearest_up2x(x)
@@ -446,9 +449,13 @@ class TimeUpsampleRes2x(nn.Module):
 # 58.0 ms isolated (no concat copy, keeps the narrow conv's higher MXU
 # efficiency) — the shipped form below.
 _PARITY_UPSAMPLE = _os.environ.get("VIDTOK_PARITY_UPSAMPLE", "1") == "1"
+# Pallas blend+interleave tail for the parity upsample (exact; fp32
+# accumulate). VIDTOK_PARITY_EPILOGUE=0 falls back to the XLA tail.
+_PARITY_EPILOGUE = _os.environ.get("VIDTOK_PARITY_EPILOGUE", "1") == "1"
 
 
-def _parity_up2x_conv_blend(s, k, bias, alpha, first_pad_mode):
+def _parity_up2x_conv_blend(s, k, bias, alpha, first_pad_mode,
+                            allow_pallas=True):
     """Full TimeUpsampleRes2x 'nearest' step — ``alpha * up2x(s) +
     (1-alpha) * causal_conv333(up2x(s))`` — computed from the HALF-RATE
     frames by output parity, with 2/3 the MACs and no 2x intermediate.
@@ -478,6 +485,16 @@ def _parity_up2x_conv_blend(s, k, bias, alpha, first_pad_mode):
     k_cur = jnp.concatenate([k[2], k[1] + k[2]], axis=-1)
     y_cur = _conv2d_frames(s, k_cur, (1, 1), [(1, 1), (1, 1)])
     y_prev = _conv2d_frames(s, k_prev, (1, 1), [(1, 1), (1, 1)])
+    if _PARITY_EPILOGUE and allow_pallas:
+        # One-pass Pallas tail: shift-add + bias + blend + parity
+        # interleave without materializing the packed intermediate
+        # (~-9 ms at decoder level 1; see ops/pallas/upsample_epilogue.py).
+        from ..ops.pallas.upsample_epilogue import parity_blend_interleave
+
+        out = parity_blend_interleave(s, y_cur, y_prev, bias, alpha,
+                                      first_pad_mode)
+        if out is not None:
+            return out
     if first_pad_mode == "replicate":
         front = y_prev[:, :1]
     else:

@@ -173,7 +173,8 @@ class Decoder(nn.Module):
                         first_pad_mode=self.first_pad_mode,
                         cache_offset=up_offs[i_level],
                         name=f"up_temporal_{i_level}_upsample",
-                    )(h, **stream(up_offs[i_level]))
+                    )(h, deterministic=deterministic,
+                      **stream(up_offs[i_level]))
                     ntu *= 2
 
         h = _named_norm(self.norm_type, "frame" if causal else "video",

@@ -296,20 +296,75 @@ def save_params(path: str, params: dict):
 # ---------------------------------------------------------------------------
 
 
-def save_train_state(ckpt_dir: str, state, step: int, keep: int = 3):
+def _monitor_ledger_path(ckpt_dir: str) -> str:
+    return os.path.join(ckpt_dir, "monitor.json")
+
+
+def load_monitor_ledger(ckpt_dir: str) -> Dict[int, float]:
+    """step -> monitor value for checkpoints saved with a monitor."""
+    import json
+
+    p = _monitor_ledger_path(ckpt_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {int(k): float(v) for k, v in json.load(f).items()}
+
+
+def _save_monitor_ledger(ckpt_dir: str, ledger: Dict[int, float]):
+    import json
+
+    with open(_monitor_ledger_path(ckpt_dir), "w") as f:
+        json.dump({str(k): v for k, v in sorted(ledger.items())}, f)
+
+
+def save_train_state(ckpt_dir: str, state, step: int, keep: int = 3,
+                     monitor_value=None):
+    """Save + prune (reference ModelCheckpoint, main.py:861-880).
+
+    Retention mirrors Lightning's ``ModelCheckpoint(save_top_k=keep,
+    monitor='val/rec_loss', mode='min', save_last=True)``: when any
+    checkpoint has been saved with ``monitor_value``, keep the best ``keep``
+    by monitor (lower is better) plus the newest (save_last); otherwise fall
+    back to keeping the newest ``keep`` by step."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state), force=True)
-    # prune old checkpoints, keep the newest `keep`
-    steps = sorted(all_checkpoint_steps(ckpt_dir))
-    for s in steps[:-keep]:
-        import shutil
 
-        shutil.rmtree(os.path.join(ckpt_dir, f"step_{s:08d}"),
-                      ignore_errors=True)
+    ledger = load_monitor_ledger(ckpt_dir)
+    if monitor_value is not None:
+        ledger[step] = float(monitor_value)
+
+    steps = sorted(all_checkpoint_steps(ckpt_dir))
+    if ledger:
+        by_monitor = sorted((s for s in steps if s in ledger),
+                            key=lambda s: (ledger[s], -s))
+        keep_set = set(by_monitor[:keep]) | {max(steps)}
+    else:
+        keep_set = set(steps[-keep:])
+    for s in steps:
+        if s not in keep_set:
+            import shutil
+
+            shutil.rmtree(os.path.join(ckpt_dir, f"step_{s:08d}"),
+                          ignore_errors=True)
+            ledger.pop(s, None)
+    if monitor_value is not None or ledger:
+        _save_monitor_ledger(ckpt_dir, ledger)
     return path
+
+
+def best_checkpoint(ckpt_dir: str):
+    """(path, step) of the best-by-monitor checkpoint, or (None, None)."""
+    ledger = load_monitor_ledger(ckpt_dir)
+    steps = set(all_checkpoint_steps(ckpt_dir))
+    avail = [s for s in ledger if s in steps]
+    if not avail:
+        return None, None
+    s = min(avail, key=lambda s: (ledger[s], -s))
+    return os.path.abspath(os.path.join(ckpt_dir, f"step_{s:08d}")), s
 
 
 def all_checkpoint_steps(ckpt_dir: str):

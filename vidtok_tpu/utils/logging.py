@@ -42,6 +42,12 @@ class MetricLogger:
                 self._wandb = None
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
 
+    @property
+    def wandb_run_id(self) -> Optional[str]:
+        """Active wandb run id (persisted by the train CLI so --resume
+        re-attaches; reference main.py:711-720)."""
+        return getattr(self._wandb, "id", None) if self._wandb else None
+
     def log_scalars(self, step: int, scalars: Dict[str, float]):
         scalars = {k: float(v) for k, v in scalars.items()}
         if self._tb is not None:
