@@ -214,3 +214,64 @@ def test_fsq_projections_roundtrip():
     z2 = reg.apply(variables, log["indices"],
                    method=FSQRegularizer.decode_indices)
     np.testing.assert_allclose(np.asarray(out), np.asarray(z2), atol=1e-5)
+
+
+def test_flagship_full_width_parity():
+    """Shipped-scale parity: ch=128, ch_mult [1,2,4,4], z=16 (the
+    kl_causal_488_16chn architecture) at 17x64x64. The 122M-param torch
+    state_dict is regenerated from the fixture's seeded numpy stream
+    (tools/gen_goldens.py gen_flagship) instead of being stored."""
+    _, arrays = load_golden("flagship_kl16")
+    sd = {}
+    for prefix, names_key, shapes_prefix, seed in (
+            ("encoder", "enc_names", "eshape", 311),
+            ("decoder", "dec_names", "dshape", 312)):
+        rs = np.random.RandomState(seed)
+        for name in arrays[names_key]:
+            name = str(name)
+            shape = tuple(int(v) for v in arrays[f"{shapes_prefix}:{name}"])
+            sd[f"{prefix}.{name}"] = (rs.randn(*shape) * 0.05).astype(
+                np.float32)
+
+    cfg = small_cfg(ch=128, ch_mult=[1, 2, 4, 4], z_channels=16,
+                    tempo_ds=[0, 1], tempo_us=[1, 2],
+                    time_downsample_factor=4, norm_type="layernorm")
+    core, meta = make_core("EncoderCausal3D", "DecoderCausal3D", cfg)
+    params = check_convert(core, cfg, sd, 5, H=32, W=32)
+
+    x = to_nthwc(arrays["x"])
+    zp = core.apply({"params": params}, x, method=TokenizerCore.encode_raw)
+    np.testing.assert_allclose(to_ncthw(zp), arrays["zp"], **TOL)
+
+    z = to_nthwc(arrays["z"])
+    dec_out = core.apply({"params": params}, z, method=TokenizerCore.decode)
+    np.testing.assert_allclose(to_ncthw(dec_out), arrays["dec"], **TOL)
+
+
+def test_v1_1_long129_tiled_parity_both_overlap_modes():
+    """BASELINE config-#4 protocol: 129 frames, chunk_size 16, tdf=4 — tiled
+    encode + tiled decode with AND without overlap must match the torch
+    reference's tile_encode/tile_decode (autoencoder_v1_1.py:218-331)."""
+    sd, arrays = load_golden("causal_v1_1_long129")
+    from vidtok_tpu.models.autoencoder import VideoTokenizer
+
+    cfg = small_cfg(interpolation_mode="trilinear")
+    core, meta = make_core("EncoderCausal3DV1_1", "DecoderCausal3DV1_1", cfg)
+    params = check_convert(core, cfg, sd, 5)
+    meta = dict(meta, use_tiling=True, t_chunk_enc=int(arrays["t_chunk_enc"]))
+    tok = VideoTokenizer(core, params, meta)
+    x = jnp.asarray(arrays["x"])
+    assert x.shape[2] == 129 and int(arrays["t_chunk_enc"]) == 16
+
+    z_tiled = tok.encode(x)
+    np.testing.assert_allclose(np.asarray(z_tiled), arrays["z_tiled"], **TOL)
+
+    tok.use_overlap = False
+    dec_plain = tok.decode(z_tiled)
+    np.testing.assert_allclose(np.asarray(dec_plain), arrays["dec_plain"],
+                               **TOL)
+
+    tok.use_overlap = True
+    dec_overlap = tok.decode(z_tiled)
+    np.testing.assert_allclose(np.asarray(dec_overlap),
+                               arrays["dec_overlap"], **TOL)

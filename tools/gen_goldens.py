@@ -232,6 +232,118 @@ def gen_v11_tiled():
     ))
 
 
+def reinit_np(model, seed):
+    """Like reinit() but draws from a numpy RandomState in
+    named_parameters() order, so a test can regenerate the exact state_dict
+    from (names, shapes, seed) without storing hundreds of MB of weights."""
+    rs = np.random.RandomState(seed)
+    names = []
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            p.copy_(torch.from_numpy(
+                (rs.randn(*p.shape) * 0.05).astype(np.float32)))
+            names.append(name)
+    return names
+
+
+def gen_flagship():
+    """Full-width parity fixture: ch=128, ch_mult [1,2,4,4], z=16 (the
+    shipped kl_causal_488_16chn architecture) at 17x64x64. Weights are
+    regenerated from a seeded numpy stream on the test side (122M params
+    would be ~0.5 GB to store); the fixture carries only the parameter
+    name/shape inventory + input + outputs."""
+    cfg = small_cfg(ch=128, ch_mult=[1, 2, 4, 4], z_channels=16,
+                    tempo_ds=[0, 1], tempo_us=[1, 2],
+                    time_downsample_factor=4, norm_type="layernorm")
+    enc = m1.EncoderCausal3DPadding(**cfg).eval()
+    dec = m1.DecoderCausal3DPadding(**cfg).eval()
+    enc_names = reinit_np(enc, 311)
+    dec_names = reinit_np(dec, 312)
+    x = randn(1, 3, 17, 64, 64, seed=313)
+    with torch.no_grad():
+        set_attr_all(enc, "causal_cache", None)
+        set_attr_all(enc, "is_first_chunk", True)
+        zp = enc(x)
+        z = DiagonalGaussianDistribution(zp).mode()
+        set_attr_all(dec, "causal_cache", None)
+        set_attr_all(dec, "is_first_chunk", True)
+        set_cache_offset([dec], 0)
+        out = dec(z)
+    arrays = dict(x=x.numpy(), zp=zp.numpy(), z=z.numpy(), dec=out.numpy(),
+                  enc_names=np.array(enc_names), dec_names=np.array(dec_names))
+    for name, p in list(enc.named_parameters()):
+        arrays[f"eshape:{name}"] = np.array(p.shape, np.int64)
+    for name, p in list(dec.named_parameters()):
+        arrays[f"dshape:{name}"] = np.array(p.shape, np.int64)
+    save("flagship_kl16", {}, arrays)
+
+
+def gen_v11_long():
+    """BASELINE config-#4 protocol: 129-frame v1.1 video, chunk_size 16,
+    tdf=4, tiled encode + tiled decode in BOTH overlap modes (reference
+    autoencoder_v1_1.py:218-331)."""
+    cfg = small_cfg(interpolation_mode="trilinear")
+    enc = reinit(m11.EncoderCausal3DPadding(**cfg).eval(), 41)
+    dec = reinit(m11.DecoderCausal3DPadding(**cfg).eval(), 42)
+    T, t_chunk_enc, tdf = 129, 16, 4
+    t_chunk_dec = t_chunk_enc // tdf
+    x = randn(1, 3, T, 32, 32, seed=43)
+
+    def chunks(t, chunk):
+        se = [[0, 1]]
+        s = 1
+        while s < t:
+            e = min(t, s + chunk)
+            se.append([s, e])
+            s = e
+        return se
+
+    with torch.no_grad():
+        # tiled encode (chunk 16)
+        set_attr_all(enc, "causal_cache", None)
+        zs = []
+        for i, (s, e) in enumerate(chunks(T, t_chunk_enc)):
+            set_attr_all(enc, "is_first_chunk", i == 0)
+            zp = enc(x[:, :, s:e])
+            zs.append(DiagonalGaussianDistribution(zp).mode())
+        z_tiled = torch.cat(zs, dim=2)
+        tz = z_tiled.shape[2]
+
+        # tiled decode WITHOUT overlap (use_overlap=False path)
+        set_attr_all(dec, "causal_cache", None)
+        set_cache_offset([dec], 0)
+        outs = []
+        for i, (s, e) in enumerate(chunks(tz, t_chunk_dec)):
+            set_attr_all(dec, "is_first_chunk", i == 0)
+            outs.append(dec(z_tiled[:, :, s:e]))
+        dec_plain = torch.cat(outs, dim=2)
+
+        # tiled decode WITH overlap (tdf=4 cache offsets,
+        # reference :309-316)
+        set_attr_all(dec, "causal_cache", None)
+        set_cache_offset([dec], 1)
+        set_cache_offset([dec.up_temporal[2].upsample, dec.up_temporal[1]], 2)
+        set_cache_offset([dec.up_temporal[1].upsample, dec.up_temporal[0],
+                          dec.conv_out], 4)
+        outs = []
+        for i, (s, e) in enumerate(chunks(tz, t_chunk_dec)):
+            set_attr_all(dec, "is_first_chunk", i == 0)
+            if e + 1 <= tz:
+                out = dec(z_tiled[:, :, s:e + 1])[:, :, :-tdf]
+            else:
+                out = dec(z_tiled[:, :, s:e])
+            outs.append(out)
+        dec_overlap = torch.cat(outs, dim=2)
+
+    sd = {f"encoder.{k}": v for k, v in enc.state_dict().items()}
+    sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+    save("causal_v1_1_long129", sd, dict(
+        x=x.numpy(), z_tiled=z_tiled.numpy(),
+        dec_plain=dec_plain.numpy(), dec_overlap=dec_overlap.numpy(),
+        t_chunk_enc=np.int64(t_chunk_enc),
+    ))
+
+
 def gen_metrics():
     from vidtok.modules import util as refutil
 
@@ -671,6 +783,8 @@ def main():
     gen_fsq()
     gen_lpips()
     gen_v11_tiled()
+    gen_flagship()
+    gen_v11_long()
     gen_metrics()
     gen_vidtwin()
     gen_vidtwin_ablations()
