@@ -57,6 +57,38 @@ FSQ_CFG = {"params": {
 }}
 
 
+def test_height_sharded_flagship_topology():
+    """H-sharded inference at the shipped TOPOLOGY (4 levels, ch_mult
+    [1,2,4,4], tdf=4, z=16 — the kl_causal_488_16chn structure, width
+    reduced for CPU): 4-way spatial sharding equals single-device, with XLA
+    inserting conv halo exchanges at every level incl. the 8x-downsampled
+    deepest one. Full-width numerical parity is covered by the
+    flagship_kl16 golden (test_parity)."""
+    _FP = {
+        "double_z": True, "z_channels": 16, "in_channels": 3, "out_ch": 3,
+        "ch": 32, "ch_mult": [1, 2, 4, 4], "time_downsample_factor": 4,
+        "num_res_blocks": 2, "norm_type": "layernorm",
+        "tempo_ds": [0, 1], "tempo_us": [1, 2]}
+    cfg = {"params": {
+        "encoder_config": {"target": "EncoderCausal3D", "params": dict(_FP)},
+        "decoder_config": {"target": "DecoderCausal3D", "params": dict(_FP)},
+        "regularizer_config": {"target": "DiagonalGaussianRegularizer"},
+    }}
+    core, meta = build_core_from_config(cfg)
+    x = jnp.asarray(np.random.RandomState(5)
+                    .randn(1, 3, 5, 64, 64).astype("float32") * 0.5)
+    variables = core.init({"params": jax.random.PRNGKey(0),
+                           "sample": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 5, 64, 64, 3)), sample_override=False)
+    tok = VideoTokenizer(core, variables["params"], meta)
+
+    z1, dec1, _ = tok(x)
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    z2, dec2, _ = tok.forward_sharded(x, mesh)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dec1), np.asarray(dec2), atol=2e-4)
+
+
 def test_fsq_sharded_aux_loss_matches_single_device():
     """Batch-sharded FSQ aux_loss/indices == single-device (the DDP
     all-reduce of the codebook probability mean, reference

@@ -123,6 +123,32 @@ def main():
         print(f"stream decode chunk (4 latents -> {nf}f): "
               f"{med*1e3:.1f} ms -> {nf/med:.1f} frames/s steady-state")
 
+    if "streamdec_overlap" in sections:
+        # v1.1 OVERLAP-mode streaming decode: each 4-latent step carries one
+        # lookahead latent and emits all tdf*4=16 usable frames (reference
+        # autoencoder_v1_1.py:303-331) — the serving-decode configuration
+        # whose throughput was previously only estimated.
+        tok.params = params
+        tok.use_tiling = True
+        tok.use_overlap = True
+        first_fn, step_fn = tok._stream_decode_fns(True)
+        z0 = jnp.asarray(np.random.RandomState(2)
+                         .randn(B, 16, 1, H // 8, W // 8).astype(np.float32))
+        zk = jnp.asarray(np.random.RandomState(3)
+                         .randn(B, 16, 5, H // 8, W // 8).astype(np.float32))
+        _, cache = first_fn(params, None, z0)
+        tdf = tok.time_downsample_factor
+        # each step decodes 4+1 latents and crops tdf lookahead frames
+        nf = step_fn(params, cache, zk)[0].shape[1] - tdf
+
+        def onedo():
+            d, c2 = step_fn(params, cache, zk)
+            return float(jnp.sum(d[:, :nf]))
+
+        med = timeit(onedo)
+        print(f"stream decode overlap chunk (4+1 latents -> {nf} usable f): "
+              f"{med*1e3:.1f} ms -> {nf/med:.1f} frames/s steady-state")
+
 
 if __name__ == "__main__":
     main()

@@ -201,8 +201,10 @@ def main():
         print(f"{name:14s} {dt*1e3:7.2f} ms  {gbs/dt:6.0f} GB/s")
 
     timebw("copy min128", copy_min, x)
-    timebw("copy min512", copy_min, x, tile_s=512)
-    timebw("copy min s/t1", copy_min, x, tile_s=512, tile_t=1)
+    timebw("copy min256", copy_min, x, tile_s=256)
+    timebw("copy t1 s512", copy_min, x, tile_s=512, tile_t=1)
+    timebw("copy t1 s4096", copy_min, x, tile_s=4096, tile_t=1)
+    timebw("copy t3 s1024", copy_min, x, tile_s=1024, tile_t=3)
     timebw("xla roundtrip", lambda a: a * 1.000001, x)
     o0 = timeit("v0 shipped", fused_temporal_resblock, x, params)
     o1 = timeit("v1 fat ts64", fused_fat, x, params, tile_s=64)
