@@ -43,20 +43,24 @@ def main():
                   "bias": jnp.zeros((C,))},
     }
 
+    fat_tile = 128 if C <= 256 else 64
+
     @jax.jit
     def program(x, params):
         acc = jnp.float32(0.0)
         o = fused_temporal_resblock(x, params)             # v0 shipped
         acc += jnp.sum(o.astype(jnp.float32))
-        o = fused_fat(x, params, tile_s=64)                # fat matmul
+        xb = x + acc * 1e-30                               # serialize
+        o = fused_fat(xb, params, tile_s=fat_tile)         # fat matmul
         acc += jnp.sum(o.astype(jnp.float32))
-        o = fused_diag(x, params, mode="copy")             # kernel copy
+        xb = x + acc * 1e-30
+        o = fused_fat(xb, params, tile_s=fat_tile * 2)     # fat, 2x tile
         acc += jnp.sum(o.astype(jnp.float32))
-        o = copy_min(x)                                    # min copy t=all
+        xb = x + acc * 1e-30
+        o = fused_diag(xb, params, mode="copy")            # kernel copy
         acc += jnp.sum(o.astype(jnp.float32))
-        o = copy_min(x, tile_s=512, tile_t=1)              # min copy t=1
-        acc += jnp.sum(o.astype(jnp.float32))
-        o = x * 1.000001                                   # xla floor
+        xb = x + acc * 1e-30
+        o = xb * 1.000001                                  # xla floor
         acc += jnp.sum(o.astype(jnp.float32))
         return acc
 
