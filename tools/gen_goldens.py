@@ -394,6 +394,42 @@ def gen_discriminators():
                                     x3=x3.numpy(), y3=y3.numpy()))
 
 
+def gen_actnorm():
+    """ActNorm: standalone (data-init + logdet) and inside the 2D PatchGAN
+    (reference discriminator.py:16-85, use_actnorm path :99-106)."""
+    from vidtok.modules import discriminator as refdisc
+
+    # standalone: train-mode forward triggers the data-dependent init,
+    # second (eval) forward on a different batch uses the frozen params
+    an = refdisc.ActNorm(16, logdet=True).train()
+    x_init = randn(4, 16, 8, 8, seed=40)
+    with torch.no_grad():
+        an(x_init)
+    an = an.eval()
+    x_eval = randn(4, 16, 8, 8, seed=41)
+    with torch.no_grad():
+        y_eval, logdet = an(x_eval)
+
+    torch.manual_seed(42)
+    d2 = refdisc.NLayerDiscriminator(input_nc=3, n_layers=3,
+                                     use_actnorm=True).apply(
+        refdisc.weights_init).train()
+    xd_init = randn(2, 3, 64, 64, seed=43)
+    with torch.no_grad():
+        d2(xd_init)  # initializes every ActNorm from this batch
+    d2 = d2.eval()
+    xd = randn(2, 3, 64, 64, seed=44)
+    with torch.no_grad():
+        yd = d2(xd)
+
+    sd = {f"an.{k}": v for k, v in an.state_dict().items()}
+    sd.update({f"loss.discriminator.{k}": v for k, v in d2.state_dict().items()})
+    save("actnorm", sd, dict(
+        x_init=x_init.numpy(), x_eval=x_eval.numpy(), y_eval=y_eval.numpy(),
+        logdet=logdet.numpy(), xd_init=xd_init.numpy(), xd=xd.numpy(),
+        yd=yd.numpy()))
+
+
 def _install_vidtwin_stubs():
     """timm / omegaconf / losses stubs so the reference vidtwin modules
     import without their GPU-era deps."""
@@ -790,6 +826,7 @@ def main():
     gen_vidtwin_ablations()
     gen_lr_schedules()
     gen_discriminators()
+    gen_actnorm()
     print("done")
 
 

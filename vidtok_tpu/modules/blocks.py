@@ -45,19 +45,10 @@ class ResnetBlockSpatial(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, fused: bool = False,
                  **_):
+        # No Pallas path here: a hand-fused spatial kernel measured
+        # tied-or-slower than XLA's conv+fusion on v5e (BENCH_NOTES.md)
+        # and was removed. ``fused`` is accepted for call-site uniformity.
         in_ch = x.shape[-1]
-        from ..ops import pallas as pallas_cfg
-
-        if (fused and pallas_cfg.FUSE_SPATIAL and not self.is_initializing()
-                and self.norm_type == "layernorm" and self.dropout == 0.0):
-            # Pallas fused path (inference): one VMEM-resident pass
-            from ..ops.pallas.fused_resblock import fused_spatial_resblock
-
-            p = self.variables["params"]
-            b, t = x.shape[:2]
-            y = fused_spatial_resblock(
-                x.reshape((b * t,) + x.shape[2:]), p)
-            return y.reshape((b, t) + y.shape[1:])
         h = _named_norm(self.norm_type, "frame", "norm1")(x)
         h = silu(h)
         h = SpatialConv(self.out_channels, 3, name="conv1")(h)

@@ -37,6 +37,7 @@ class LossConfig(NamedTuple):
     disc_factor: float = 1.0
     disc_weight: float = 1.0
     disc_type: str = "3d"
+    use_actnorm: bool = False
     perceptual_weight: float = 1.0
     lecam_loss_weight: float = 0.0
     disc_loss: str = "hinge"
@@ -59,9 +60,11 @@ class LossConfig(NamedTuple):
 def make_discriminator(cfg: LossConfig):
     if cfg.disc_type == "2d":
         return NLayerDiscriminator(input_nc=cfg.disc_in_channels,
-                                   n_layers=cfg.disc_num_layers)
+                                   n_layers=cfg.disc_num_layers,
+                                   use_actnorm=cfg.use_actnorm)
     return NLayerDiscriminator3D(input_nc=cfg.disc_in_channels,
-                                 n_layers=cfg.disc_num_layers)
+                                 n_layers=cfg.disc_num_layers,
+                                 use_actnorm=cfg.use_actnorm)
 
 
 def _fold_frames(x):

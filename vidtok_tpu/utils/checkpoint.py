@@ -190,7 +190,7 @@ def convert_discriminator_state_dict(sd: Dict[str, np.ndarray],
                         np.transpose(arr, (2, 3, 4, 1, 0)))
             else:
                 put(params, name, "bias", arr)
-        else:  # BatchNorm
+        else:  # BatchNorm, or ActNorm when use_actnorm (discriminator.py:16-85)
             if leaf == "weight":
                 put(params, name, "scale", arr)
             elif leaf == "bias":
@@ -199,6 +199,10 @@ def convert_discriminator_state_dict(sd: Dict[str, np.ndarray],
                 put(stats, name, "mean", arr)
             elif leaf == "running_var":
                 put(stats, name, "var", arr)
+            elif leaf in ("loc", "scale"):  # ActNorm [1,C,1,1] -> [C]
+                put(params, name, leaf, arr.reshape(-1))
+            # ActNorm's "initialized" buffer is an in-place-init artifact
+            # with no functional counterpart; dropped.
     return params, stats
 
 
