@@ -125,3 +125,32 @@ def test_fused_temporal_odd_spatial_fallback():
     y_ref = m.apply({"params": p}, x, fused=False)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
                                atol=2e-5)
+
+
+def test_fused_spatial_v2_matches():
+    """Fused spatial resblock v2 == XLA path, including the frame-edge
+    rows (conv2 must tap its ZERO padding there, not a phantom conv1-of-
+    zeros row — regression for the halo-edge bug) and the nin_shortcut
+    case; unfit H falls back."""
+    import vidtok_tpu.modules.blocks as B
+    from vidtok_tpu.ops.pallas.fused_spatial_v2 import fused_spatial_resblock_v2
+
+    rng = np.random.RandomState(0)
+    # multi-row-tile (exercises both frame edges + interior halos) + nin
+    for h, w, cin, cout in [(32, 8, 32, 32), (16, 24, 32, 16)]:
+        x = jnp.asarray(rng.randn(1, 2, h, w, cin), jnp.float32)
+        m = B.ResnetBlockSpatial(cout, norm_type="layernorm")
+        v = m.init(jax.random.PRNGKey(0), x)
+        y_f = m.apply(v, x, fused=True)
+        y_r = m.apply(v, x, fused=False)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                                   atol=2e-5)
+    # H=10 has no even row tile >= 2 dividing it with H >= r+2 -> fallback
+    x = jnp.asarray(rng.randn(1, 1, 10, 8, 16), jnp.float32)
+    m = B.ResnetBlockSpatial(16, norm_type="layernorm")
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert fused_spatial_resblock_v2(
+        x.reshape(1, 10, 8, 16), v["params"]) is None
+    y_f = m.apply(v, x, fused=True)
+    y_r = m.apply(v, x, fused=False)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-5)

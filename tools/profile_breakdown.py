@@ -38,7 +38,8 @@ def build(which):
                                  compute_dtype=jnp.bfloat16)
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16),
                                     tok.params)
-    B, T, H, W = 1, 17, 256, 256
+    B = int(os.environ.get("VIDTOK_PROF_B", "1"))
+    T, H, W = 17, 256, 256
 
     if which == "encode":
         x = jnp.asarray(np.random.RandomState(0)
@@ -56,7 +57,7 @@ def build(which):
         return (lambda: enc(params, x, rng)), None
     else:
         z = jnp.asarray(np.random.RandomState(1)
-                        .randn(B, 16, 5, 32, 32).astype(np.float32))
+                        .randn(B, 16, 5, 32, 32).astype(np.float32) * 0.5)
 
         @jax.jit
         def dec(params, z):
@@ -115,6 +116,6 @@ if __name__ == "__main__":
     capture(fn, trace_dir)
     rows, total = parse(trace_dir)
     json.dump([{"ms": r[0], "count": r[1], "name": r[2], "src": r[3]}
-               for r in rows[:60]],
+               for r in rows],
               open(f"/tmp/breakdown_{which}.json", "w"), indent=1)
     print(f"\nwrote /tmp/breakdown_{which}.json")

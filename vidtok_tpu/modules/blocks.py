@@ -45,10 +45,20 @@ class ResnetBlockSpatial(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, fused: bool = False,
                  **_):
-        # No Pallas path here: a hand-fused spatial kernel measured
-        # tied-or-slower than XLA's conv+fusion on v5e (BENCH_NOTES.md)
-        # and was removed. ``fused`` is accepted for call-site uniformity.
         in_ch = x.shape[-1]
+        if (fused and deterministic and self.norm_type == "layernorm"
+                and self.dropout == 0.0 and not self.is_initializing()):
+            # v2 fused kernel (aligned halo-block operands — unlike the
+            # removed round-1 kernel, no unaligned DMA slices). Inference
+            # only: pallas_call has no VJP. Falls back on unfit shapes.
+            from ..ops.pallas.fused_spatial_v2 import fused_spatial_resblock_v2
+
+            p = self.variables["params"]
+            b, t = x.shape[:2]
+            y = fused_spatial_resblock_v2(
+                x.reshape((b * t,) + x.shape[2:]), p)
+            if y is not None:
+                return y.reshape((b, t) + y.shape[1:])
         h = _named_norm(self.norm_type, "frame", "norm1")(x)
         h = silu(h)
         h = SpatialConv(self.out_channels, 3, name="conv1")(h)
@@ -443,6 +453,9 @@ _PARITY_UPSAMPLE = _os.environ.get("VIDTOK_PARITY_UPSAMPLE", "1") == "1"
 # Pallas blend+interleave tail for the parity upsample (exact; fp32
 # accumulate). VIDTOK_PARITY_EPILOGUE=0 falls back to the XLA tail.
 _PARITY_EPILOGUE = _os.environ.get("VIDTOK_PARITY_EPILOGUE", "1") == "1"
+# Merge the two C->2C parity convs into ONE C->4C conv (one conv input
+# layout copy instead of two). Exact; A/B-gated.
+_PARITY_MERGED = _os.environ.get("VIDTOK_PARITY_MERGED", "1") == "1"
 
 
 def _parity_up2x_conv_blend(s, k, bias, alpha, first_pad_mode,
@@ -474,8 +487,21 @@ def _parity_up2x_conv_blend(s, k, bias, alpha, first_pad_mode,
     k = k.astype(dt)  # [3, 3, 3, C, C]
     k_prev = jnp.concatenate([k[0] + k[1], k[0]], axis=-1)  # [3,3,C,2C]
     k_cur = jnp.concatenate([k[2], k[1] + k[2]], axis=-1)
-    y_cur = _conv2d_frames(s, k_cur, (1, 1), [(1, 1), (1, 1)])
-    y_prev = _conv2d_frames(s, k_prev, (1, 1), [(1, 1), (1, 1)])
+    if _PARITY_MERGED and _PARITY_EPILOGUE and allow_pallas:
+        # Single C->4C conv [cur-taps | prev-taps]: one conv input layout
+        # copy instead of two (profiled 2x ~2.6 ms at level 1); the Pallas
+        # tail picks the halves at frames t / t-1.
+        from ..ops.pallas.upsample_epilogue import parity_blend_interleave4
+
+        y4 = _conv2d_frames(s, jnp.concatenate([k_cur, k_prev], axis=-1),
+                            (1, 1), [(1, 1), (1, 1)])
+        out = parity_blend_interleave4(s, y4, bias, alpha, first_pad_mode)
+        if out is not None:
+            return out
+        y_cur, y_prev = y4[..., :2 * c], y4[..., 2 * c:]
+    else:
+        y_cur = _conv2d_frames(s, k_cur, (1, 1), [(1, 1), (1, 1)])
+        y_prev = _conv2d_frames(s, k_prev, (1, 1), [(1, 1), (1, 1)])
     if _PARITY_EPILOGUE and allow_pallas:
         # One-pass Pallas tail: shift-add + bias + blend + parity
         # interleave without materializing the packed intermediate

@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: fused per-frame spatial residual block (layernorm).
+
+Replaces the whole ResnetBlockSpatial body (reference ResnetBlock,
+model_3dcausal.py:276-337, layernorm variant)
+
+    out = shortcut(x) + conv2(silu(ln2(conv1(silu(ln1(x))))))
+
+with ONE VMEM-resident pass per row tile. At B=4 flagship decode the XLA
+chain spends ~half its time in norm-stat reductions, converts, adds and
+conv layout copies (profiled: up_0_block_0 16.4 ms/clip of which ~9 ms is
+non-conv); fusing keeps every intermediate in VMEM so HBM sees only one
+read of x and one write of out.
+
+Why this succeeds where the round-1 fused kernel (removed) failed: that
+kernel DMA'd unaligned halo slices, forcing Mosaic relayouts. Here the
+3x3 halos come from *aligned block operands* — the row dimension is
+covered by a main (1,R,W,C) block plus two 2-row halo blocks whose
+index_maps address 2-row-aligned positions (R even), so every DMA is a
+whole aligned block; only static W-shifts (sublane moves) happen
+in-kernel. Both convs run as 9 tap matmuls (M=rows*W, K=Cin, N=C —
+full-lane MXU shapes), f32 accumulation, layernorm stats per position in
+f32 (ChannelLayerNorm semantics, norms.py).
+
+Dtype contract matches the unfused path op-for-op: ln stats f32 ->
+cast to x.dtype -> silu in x.dtype -> conv (f32 accumulate, cast) ->
+bias in x.dtype.
+
+Inference-only (pallas_call has no VJP); callers gate on determinism.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_silu(xa, g, b, eps):
+    dt = xa.dtype
+    xf = xa.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) / jnp.sqrt(var + eps)
+    y = y * g.astype(jnp.float32) + b.astype(jnp.float32)
+    # silu on the dt-rounded value, but in f32 lanes: Mosaic's bf16
+    # logistic path trips a verifier bug (f32->bf16 vector.broadcast)
+    yf = y.astype(dt).astype(jnp.float32)
+    return (yf * jax.lax.logistic(yf)).astype(dt)
+
+
+def _conv3x3(h, k, bias):
+    """h: [rows, W, Ci] -> [rows-2, W, Co]; k: [3,3,Ci,Co] (h's dtype),
+    SAME W-padding, VALID rows (halo rows consumed)."""
+    rows, w, ci = h.shape
+    co = k.shape[-1]
+    out_rows = rows - 2
+    hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))
+    acc = jnp.zeros((out_rows * w, co), jnp.float32)
+    for dr in range(3):
+        for dw in range(3):
+            xs = hp[dr:dr + out_rows, dw:dw + w, :].reshape(out_rows * w, ci)
+            acc += jax.lax.dot_general(
+                xs, k[dr, dw], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    return (acc.reshape(out_rows, w, co).astype(h.dtype)
+            + bias.astype(h.dtype))
+
+
+def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
+            g2_ref, b2_ref, k2_ref, c2b_ref, nk_ref, nb_ref, out_ref, *,
+            eps, has_nin):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    xm = xm_ref[0]                     # [R, W, Cin]
+    top = xt_ref[0]                    # [2, W, Cin]
+    bot = xb_ref[0]
+    # spatial zero-pad at frame edges (the clamped halo blocks hold
+    # in-frame rows there; the conv's SAME padding wants zeros)
+    top = jnp.where(j == 0, jnp.zeros_like(top), top)
+    bot = jnp.where(j == nj - 1, jnp.zeros_like(bot), bot)
+    xa = jnp.concatenate([top, xm, bot], axis=0)   # [R+4, W, Cin]
+
+    h1 = _ln_silu(xa, g1_ref[:], b1_ref[:], eps)
+    c1 = _conv3x3(h1, k1_ref[:], c1b_ref[:])       # [R+2, W, C]
+    h2 = _ln_silu(c1, g2_ref[:], b2_ref[:], eps)
+    # conv2's SAME padding must tap ZERO beyond the frame — at frame
+    # edges h2's halo row is a phantom (conv1-of-zeros + bias, normed),
+    # not conv2's zero pad; kill it.
+    rr = h2.shape[0]
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (rr, 1, 1), 0)
+    kill = jnp.logical_or(jnp.logical_and(j == 0, ridx == 0),
+                          jnp.logical_and(j == nj - 1, ridx == rr - 1))
+    h2 = jnp.where(kill, jnp.zeros_like(h2), h2)
+    c2 = _conv3x3(h2, k2_ref[:], c2b_ref[:])       # [R, W, C]
+
+    if has_nin:
+        r, w, ci = xm.shape
+        co = nk_ref.shape[-1]
+        sc = jax.lax.dot_general(
+            xm.reshape(r * w, ci), nk_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sc = (sc.reshape(r, w, co).astype(xm.dtype)
+              + nb_ref[:].astype(xm.dtype))
+    else:
+        sc = xm
+    out_ref[0] = sc + c2
+
+
+def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
+                              row_tile: int = 8, interpret=None):
+    """x: [N, H, W, Cin] (batch*frames folded) -> [N, H, W, C] or None.
+
+    ``params``: the flax param tree of ResnetBlockSpatial (norm1/conv1/
+    norm2/conv2 [+ nin_shortcut]). Returns None when the shape doesn't fit
+    the kernel's tiling (caller falls back to the XLA path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n, h, w, cin = x.shape
+    k1 = params["conv1"]["kernel"]                 # [1,3,3,Cin,C]
+    c = k1.shape[-1]
+    r = row_tile
+    if r % 2 or h % r or h < r + 2:
+        return None
+    if not interpret and (w % 128 or cin % 128 or c % 128):
+        return None  # sub-lane-width channels: XLA path is fine there
+    has_nin = "nin_shortcut" in params
+    dt = x.dtype
+
+    g1 = params["norm1"]["scale"].astype(jnp.float32)
+    b1 = params["norm1"]["bias"].astype(jnp.float32)
+    g2 = params["norm2"]["scale"].astype(jnp.float32)
+    b2 = params["norm2"]["bias"].astype(jnp.float32)
+    k1d = k1[0].astype(dt)                          # [3,3,Cin,C]
+    k2d = params["conv2"]["kernel"][0].astype(dt)
+    c1b = params["conv1"]["bias"].astype(jnp.float32)
+    c2b = params["conv2"]["bias"].astype(jnp.float32)
+    if has_nin:
+        nk = params["nin_shortcut"]["kernel"][0, 0, 0].astype(dt)  # [Cin,C]
+        nb = params["nin_shortcut"]["bias"].astype(jnp.float32)
+    else:  # dummies keep the operand list static
+        nk = jnp.zeros((1, 1), dt)
+        nb = jnp.zeros((1,), jnp.float32)
+
+    vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hb = h // 2  # row dim as 2-row blocks for the halo operands
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps, has_nin=has_nin),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), dt),
+        grid=(n, h // r),
+        in_specs=[
+            pl.BlockSpec((1, r, w, cin), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # top halo rows [jr-2, jr): 2-row block index jr/2 - 1
+            pl.BlockSpec((1, 2, w, cin),
+                         lambda i, j, _r=r: (
+                             i, jnp.maximum(j * (_r // 2) - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            # bottom halo rows [jr+r, jr+r+2): block index jr/2 + r/2
+            pl.BlockSpec((1, 2, w, cin),
+                         lambda i, j, _r=r, _hb=hb: (
+                             i, jnp.minimum(j * (_r // 2) + _r // 2, _hb - 1),
+                             0, 0),
+                         memory_space=pltpu.VMEM),
+            vfull, vfull, vfull, vfull, vfull, vfull, vfull, vfull,
+            vfull, vfull,
+        ],
+        out_specs=pl.BlockSpec((1, r, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, x, x, g1, b1, k1d, c1b, g2, b2, k2d, c2b, nk, nb)
+    return out

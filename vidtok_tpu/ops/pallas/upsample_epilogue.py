@@ -88,3 +88,52 @@ def parity_blend_interleave(s, y_cur, y_prev, bias, alpha,
         interpret=interpret,
     )(sf, ycf, ypf, bias2, alpha_arr)
     return out.reshape(b, 2 * t, h, w, c)
+
+
+def parity_blend_interleave4(s, y4, bias, alpha, first_pad_mode: str = "zero",
+                             tile_s: int = 256, interpret: bool = None):
+    """Same tail as :func:`parity_blend_interleave` but for the merged
+    single-conv form: ``y4`` is [B,T,H,W,4C] with channels
+    ``[cur-taps (2C) | prev-taps (2C)]`` from ONE C->4C conv (one conv
+    input layout copy instead of two). The kernel reads the cur half at
+    frame t and the prev half at frame t-1 by passing ``y4`` twice with
+    different channel-block index maps."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, t, h, w, c = s.shape
+    sp = h * w
+    while sp % tile_s != 0 and tile_s > 8:
+        tile_s //= 2
+    if sp % tile_s != 0:
+        return None
+    sf = s.reshape(b, t, sp, c)
+    y4f = y4.reshape(b, t, sp, 4 * c)
+    bias2 = jnp.concatenate([bias, bias]).astype(jnp.float32)
+    alpha_arr = jnp.asarray(alpha, jnp.float32).reshape(1)
+
+    kern = functools.partial(_kernel, c=c,
+                             replicate=(first_pad_mode == "replicate"))
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, 2 * t, sp, c), s.dtype),
+        grid=(b, t, sp // tile_s),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile_s, c), lambda i, j, k: (i, j, k, 0),
+                         memory_space=pltpu.VMEM),
+            # cur-tap half: channel block 0 at frame t
+            pl.BlockSpec((1, 1, tile_s, 2 * c),
+                         lambda i, j, k: (i, j, k, 0),
+                         memory_space=pltpu.VMEM),
+            # prev-tap half: channel block 1 at frame t-1 (clamped)
+            pl.BlockSpec((1, 1, tile_s, 2 * c),
+                         lambda i, j, k: (i, jnp.maximum(j - 1, 0), k, 1),
+                         memory_space=pltpu.VMEM),
+            vspec, vspec,
+        ],
+        out_specs=pl.BlockSpec((1, 2, tile_s, c),
+                               lambda i, j, k: (i, j, k, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(sf, y4f, y4f, bias2, alpha_arr)
+    return out.reshape(b, 2 * t, h, w, c)
