@@ -246,7 +246,8 @@ class SpatialUpsample(nn.Module):
     subpixel: bool = True
 
     @nn.compact
-    def __call__(self, x, **_):
+    def __call__(self, x, *, fused: bool = False, deterministic: bool = True,
+                 **_):
         if not self.with_conv:
             return spatial_nearest_up2x(x)
         c = x.shape[-1]
@@ -260,10 +261,11 @@ class SpatialUpsample(nn.Module):
             return conv(spatial_nearest_up2x(x))
         k = self.variables["params"]["conv"]["kernel"][0]  # [3,3,C,C]
         bias = self.variables["params"]["conv"]["bias"]
-        return _subpixel_up2x_conv3x3(x, k, bias)
+        return _subpixel_up2x_conv3x3(x, k, bias,
+                                      allow_pallas=fused and deterministic)
 
 
-def _subpixel_up2x_conv3x3(x, k, bias):
+def _subpixel_up2x_conv3x3(x, k, bias, allow_pallas=False):
     """Exact nearest-2x-upsample + 3x3 conv via four parity convs.
 
     x: [B,T,H,W,C]; k: [3,3,Cin,Cout]. Output row 2a+p reads upsampled rows
@@ -300,6 +302,13 @@ def _subpixel_up2x_conv3x3(x, k, bias):
     y10 = conv2(xf, e10, (0, 1), (1, 0))
     y11 = conv2(xf, e11, (0, 1), (0, 1))
     cout = y00.shape[-1]
+    if allow_pallas:
+        # single-pass interleave+bias tail (inference only — no VJP)
+        from ..ops.pallas.subpixel_epilogue import subpixel_interleave
+
+        y = subpixel_interleave(y00, y01, y10, y11, bias)
+        if y is not None:
+            return y.reshape(b, t, 2 * h, 2 * w, cout)
     # interleave: y[2a+pr, 2b+pc] = y_{pr pc}[a, b]
     rows = jnp.stack([jnp.stack([y00, y01], axis=3),
                       jnp.stack([y10, y11], axis=3)], axis=2)
@@ -484,6 +493,15 @@ def _parity_up2x_conv_blend(s, k, bias, alpha, first_pad_mode,
 
     b_, t, h, w, c = s.shape
     dt = s.dtype
+    if allow_pallas:
+        # fully-fused form: 3 base convs + blend + interleave in one
+        # kernel, 25% fewer MACs and no conv-input layout copy
+        # (ops/pallas/parity_upsample_fused.py)
+        from ..ops.pallas.parity_upsample_fused import parity_up2x_fused
+
+        out = parity_up2x_fused(s, k, bias, alpha, first_pad_mode)
+        if out is not None:
+            return out
     k = k.astype(dt)  # [3, 3, 3, C, C]
     k_prev = jnp.concatenate([k[0] + k[1], k[0]], axis=-1)  # [3,3,C,2C]
     k_cur = jnp.concatenate([k[2], k[1] + k[2]], axis=-1)

@@ -163,7 +163,8 @@ class Decoder(nn.Module):
                     cache_offset=off,
                     name=f"up_temporal_{i_level}_block_{i_block}"), h, off)
             if i_level in spatial_us:
-                h = SpatialUpsample(name=f"up_{i_level}_upsample")(h)
+                h = SpatialUpsample(name=f"up_{i_level}_upsample")(
+                    h, fused=fused, deterministic=deterministic)
                 if i_level in tempo_us:
                     h = TimeUpsampleRes2x(
                         h.shape[-1], causal=causal,
@@ -176,6 +177,26 @@ class Decoder(nn.Module):
                     )(h, deterministic=deterministic,
                       **stream(up_offs[i_level]))
                     ntu *= 2
+
+        if (fused and deterministic and not streaming and not return_features
+                and causal and self.norm_type == "layernorm"
+                and not self.is_initializing()):
+            # One-pass Pallas tail: layernorm+silu+causal conv_out with a
+            # VMEM time-ring (ops/pallas/decoder_tail.py). Inference only;
+            # return_features (adaptive GAN weight) keeps the XLA path.
+            from ..ops.pallas.decoder_tail import decoder_tail_rgb
+
+            p = self.variables["params"]
+            y = decoder_tail_rgb(h, p["norm_out"],
+                                 {"kernel": p["conv_out"]["kernel"],
+                                  "bias": p["conv_out"]["bias"]},
+                                 self.first_pad_mode)
+            if y is not None:
+                if self.tanh_out:
+                    y = jnp.tanh(y)
+                if self.variant == "causal":
+                    y = y[:, self.time_downsample_factor - 1:]
+                return y
 
         h = _named_norm(self.norm_type, "frame" if causal else "video",
                         "norm_out")(h)

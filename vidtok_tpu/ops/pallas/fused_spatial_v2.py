@@ -109,8 +109,13 @@ def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
     out_ref[0] = sc + c2
 
 
+import os as _os
+
+_TILE_OVERRIDE = int(_os.environ.get("VIDTOK_SPATIAL_TILE", "0"))
+
+
 def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
-                              row_tile: int = 8, interpret=None):
+                              row_tile: int = 0, interpret=None):
     """x: [N, H, W, Cin] (batch*frames folded) -> [N, H, W, C] or None.
 
     ``params``: the flax param tree of ResnetBlockSpatial (norm1/conv1/
@@ -122,10 +127,15 @@ def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
     n, h, w, cin = x.shape
     k1 = params["conv1"]["kernel"]                 # [1,3,3,Cin,C]
     c = k1.shape[-1]
-    r = row_tile
+    # default tile: 16 rows when the working set is narrow enough
+    # (halo rows are recomputed, so bigger tiles waste fewer FLOPs);
+    # 8 keeps wider blocks inside the 16 MB VMEM scoped limit (128ch x
+    # W=256 at r=16 measured 17.5 MB -> OOM, hence the 16384 cutoff).
+    r = row_tile or _TILE_OVERRIDE or (16 if max(cin, c) * w <= 16384
+                                       else 8)
     if r % 2 or h % r or h < r + 2:
         return None
-    if not interpret and (w % 128 or cin % 128 or c % 128):
+    if not interpret and (w % 16 or cin % 128 or c % 128):
         return None  # sub-lane-width channels: XLA path is fine there
     has_nin = "nin_shortcut" in params
     dt = x.dtype

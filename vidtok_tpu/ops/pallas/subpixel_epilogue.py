@@ -1,0 +1,66 @@
+"""Pallas TPU kernel: subpixel-upsample interleave epilogue.
+
+``SpatialUpsample`` computes nearest-2x-up + 3x3 conv as four parity convs
+(modules/blocks.py _subpixel_up2x_conv3x3). The XLA tail that interleaves
+the four [N,H,W,C] parity outputs into [N,2H,2W,C] (stack + reshape) costs
+several full-tensor copy passes (~6 ms/clip across decoder levels at B=4).
+
+This kernel writes ``out5[N, H, 2, 2W, C]`` — the ROW parity lives in its
+own dimension, so the final [N,2H,2W,C] view is a free leading-dim reshape
+in XLA; only the column interleave (a half-tile sublane shuffle) happens
+in-kernel. A first version that interleaved rows in-kernel blew the 16 MB
+VMEM scoped limit (34.5 MB of relayout scratch for the row+column mixed
+reshape).
+
+    out[2a+pr, 2b+pc, :] = y[pr][pc][a, b, :] + bias
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(y00_ref, y01_ref, y10_ref, y11_ref, bias_ref, out_ref):
+    y00 = y00_ref[0]
+    y01 = y01_ref[0]
+    y10 = y10_ref[0]
+    y11 = y11_ref[0]
+    r, w, c = y00.shape
+    bias = bias_ref[:].astype(y00.dtype)
+    # column interleave per row-parity: [R, W, 2(pc), C] -> [R, 2W, C]
+    even = jnp.stack([y00, y01], axis=2).reshape(r, 2 * w, c) + bias
+    odd = jnp.stack([y10, y11], axis=2).reshape(r, 2 * w, c) + bias
+    out_ref[0] = jnp.stack([even, odd], axis=1)       # [R, 2(pr), 2W, C]
+
+
+def subpixel_interleave(y00, y01, y10, y11, bias, *, row_tile: int = 4,
+                        interpret=None):
+    """y_pq: [N, H, W, C] parity conv outputs -> [N, 2H, 2W, C] or None."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n, h, w, c = y00.shape
+    r = row_tile
+    while h % r and r > 1:
+        r //= 2
+    if h % r:
+        return None
+    if not interpret and (w % 16 or c % 128):
+        return None
+
+    spec = pl.BlockSpec((1, r, w, c), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out5 = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, 2, 2 * w, c), y00.dtype),
+        grid=(n, h // r),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, r, 2, 2 * w, c),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(y00, y01, y10, y11, bias.astype(y00.dtype))
+    return out5.reshape(n, 2 * h, 2 * w, c)   # free: merges (H, 2) rows
