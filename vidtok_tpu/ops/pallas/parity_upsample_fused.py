@@ -80,7 +80,7 @@ def _kernel(sm_ref, st_ref, sb_ref, sc_ref, kb_ref, bias_ref, alpha_ref,
 
     sb2 = sc_ref[0, 0].astype(jnp.float32).reshape(r * w, cc)
     alpha = alpha_ref[0]
-    bias = bias_ref[0].astype(jnp.float32)
+    bias = bias_ref[0, 0].astype(jnp.float32)
     oute = alpha * sb2 + (1.0 - alpha) * (cur_e + pe.astype(jnp.float32)
                                           + bias)
     outo = alpha * sb2 + (1.0 - alpha) * (cur_o + po.astype(jnp.float32)
@@ -120,7 +120,7 @@ def parity_up2x_fused(s, k, bias, alpha, first_pad_mode,
                          kd[1, ..., i * cc:(i + 1) * cc],
                          kd[2, ..., i * cc:(i + 1) * cc]], axis=-1)
         for i in range(g)], axis=0)
-    bias_g = bias.astype(jnp.float32).reshape(g, cc)
+    bias_g = bias.astype(jnp.float32).reshape(g, 1, cc)
     alpha_arr = jnp.asarray(alpha, jnp.float32).reshape(1)
 
     out = pl.pallas_call(
@@ -148,7 +148,7 @@ def parity_up2x_fused(s, k, bias, alpha, first_pad_mode,
             pl.BlockSpec((1, 3, 3, c, 3 * cc),
                          lambda i, gg, j, kk: (gg, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cc), lambda i, gg, j, kk: (gg, 0),
+            pl.BlockSpec((1, 1, cc), lambda i, gg, j, kk: (gg, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
