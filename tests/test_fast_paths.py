@@ -154,3 +154,38 @@ def test_fused_spatial_v2_matches():
     y_f = m.apply(v, x, fused=True)
     y_r = m.apply(v, x, fused=False)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-5)
+
+
+def test_parity_upsample_fused_kernel():
+    """Fully-fused parity upsample == XLA reference form, both stream-start
+    pad modes, including the output-channel-chunked (G=2) path used at
+    C=512."""
+    from vidtok_tpu.modules.blocks import _parity_up2x_conv_blend
+    from vidtok_tpu.ops.pallas.parity_upsample_fused import parity_up2x_fused
+
+    rng = np.random.RandomState(1)
+    s = jnp.asarray(rng.randn(1, 3, 8, 16, 64).astype("float32"))
+    k = jnp.asarray(rng.randn(3, 3, 3, 64, 64).astype("float32") * 0.05)
+    bias = jnp.asarray(rng.randn(64).astype("float32") * 0.1)
+    for mode in ("zero", "replicate"):
+        ref = _parity_up2x_conv_blend(s, k, bias, 0.3, mode,
+                                      allow_pallas=False)
+        for cc in (64, 32):  # G=1 and G=2
+            got = parity_up2x_fused(s, k, bias, 0.3, mode, chunk_c=cc)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5)
+
+
+def test_subpixel_interleave_epilogue():
+    """SpatialUpsample's Pallas interleave tail == the XLA stack/reshape
+    tail."""
+    import vidtok_tpu.modules.blocks as B
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 3, 12, 20, 16).astype("float32"))
+    m = B.SpatialUpsample()
+    v = m.init(jax.random.PRNGKey(0), x)
+    y_ref = m.apply(v, x)
+    y_f = m.apply(v, x, fused=True)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               atol=2e-5)
