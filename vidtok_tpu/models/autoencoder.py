@@ -17,6 +17,7 @@ Two layers:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -226,7 +227,8 @@ class VideoTokenizer:
     """
 
     def __init__(self, core: TokenizerCore, params, meta: dict,
-                 compute_dtype=jnp.float32, seed: int = 0):
+                 compute_dtype=jnp.float32, seed: int = 0,
+                 fused: Optional[bool] = None):
         self.core = core
         self.params = params
         self.meta = meta
@@ -238,6 +240,15 @@ class VideoTokenizer:
         self.t_chunk_enc = meta.get("t_chunk_enc", 16)
         self.t_chunk_dec = self.t_chunk_enc // self.time_downsample_factor
         self.use_overlap = False
+        # Serving default: route through the Pallas inference kernels on
+        # accelerators; on CPU they run in (slow) interpret mode, so the
+        # XLA paths are the better default there. Override via the
+        # constructor or VIDTOK_FUSED=0/1.
+        if fused is None:
+            env = os.environ.get("VIDTOK_FUSED")
+            fused = (env == "1" if env in ("0", "1")
+                     else jax.default_backend() != "cpu")
+        self.fused = bool(fused)
         self._rng = jax.random.PRNGKey(seed)
         self._jit_cache: Dict[Any, Any] = {}
 
@@ -309,6 +320,7 @@ class VideoTokenizer:
                     xt = _to_nthwc(xx).astype(self.compute_dtype)
                     z, log = self.core.apply(
                         {"params": params}, xt, sample_override=sample,
+                        fused=self.fused,
                         rngs={"sample": rng}, method=TokenizerCore.encode,
                     )
                     return _to_ncthw(z.astype(jnp.float32)), log
@@ -329,7 +341,8 @@ class VideoTokenizer:
             def fn(params, zz):
                 zt = _to_nthwc(zz).astype(self.compute_dtype)
                 dec = self.core.apply(
-                    {"params": params}, zt, method=TokenizerCore.decode,
+                    {"params": params}, zt, fused=self.fused,
+                    method=TokenizerCore.decode,
                 )
                 return _to_ncthw(dec.astype(jnp.float32))
             self._jit_cache[key] = jax.jit(fn)
@@ -358,7 +371,8 @@ class VideoTokenizer:
             return z, dec, log
         key = ("forward", x.shape, sample)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(self._full_forward_fn(sample))
+            self._jit_cache[key] = jax.jit(
+                self._full_forward_fn(sample, fused=self.fused))
         return self._jit_cache[key](self.params, x, self._next_rng())
 
     __call__ = forward
@@ -379,7 +393,7 @@ class VideoTokenizer:
         axes = tuple(mesh.axis_names)
         key = ("forward_sharded", x.shape, sample, id(mesh))
         if key not in self._jit_cache:
-            fn = self._full_forward_fn(sample)
+            fn = self._full_forward_fn(sample, fused=self.fused)
             x_sharding = NamedSharding(mesh, P(None, None, None, axes, None))
             rep = NamedSharding(mesh, P())
             self._jit_cache[key] = jax.jit(
@@ -420,7 +434,8 @@ class VideoTokenizer:
             xt = self.core.encoder.pad_input(xt)
             (z, log), vars_ = self.core.apply(
                 {"params": params}, xt, streaming=True, first_chunk=True,
-                sample_override=sample, rngs={"sample": rng},
+                sample_override=sample, fused=self.fused,
+                rngs={"sample": rng},
                 method=TokenizerCore.encode, mutable=["cache"],
             )
             return z, log, vars_["cache"]
@@ -429,7 +444,8 @@ class VideoTokenizer:
             xt = _to_nthwc(x).astype(self.compute_dtype)
             (z, log), vars_ = self.core.apply(
                 {"params": params, "cache": cache}, xt, streaming=True,
-                first_chunk=False, sample_override=sample, rngs={"sample": rng},
+                first_chunk=False, sample_override=sample, fused=self.fused,
+                rngs={"sample": rng},
                 method=TokenizerCore.encode, mutable=["cache"],
             )
             return z, log, vars_["cache"]
@@ -458,7 +474,8 @@ class VideoTokenizer:
             rngs = jax.random.split(rng, k + 1)
             (z0, log0), vars_ = self.core.apply(
                 {"params": params}, first, streaming=True, first_chunk=True,
-                sample_override=sample, rngs={"sample": rngs[0]},
+                sample_override=sample, fused=self.fused,
+                rngs={"sample": rngs[0]},
                 method=TokenizerCore.encode, mutable=["cache"],
             )
             rest = xt[:, 1:]
@@ -471,7 +488,7 @@ class VideoTokenizer:
                 (z, log), vs = self.core.apply(
                     {"params": params, "cache": cache}, xc, streaming=True,
                     first_chunk=False, sample_override=sample,
-                    rngs={"sample": key_i},
+                    fused=self.fused, rngs={"sample": key_i},
                     method=TokenizerCore.encode, mutable=["cache"],
                 )
                 return vs["cache"], (z, log)
@@ -520,7 +537,7 @@ class VideoTokenizer:
                     variables["cache"] = cache
                 dec, vs = self.core.apply(
                     variables, zc, streaming=True, first_chunk=first,
-                    use_cache_offset=use_overlap,
+                    use_cache_offset=use_overlap, fused=self.fused,
                     method=TokenizerCore.decode, mutable=["cache"],
                 )
                 return dec, vs["cache"]
@@ -623,7 +640,7 @@ class VideoTokenizer:
                     variables["cache"] = cache
                 dec, vars_ = self.core.apply(
                     variables, zt, streaming=True, first_chunk=first_chunk,
-                    use_cache_offset=use_overlap,
+                    use_cache_offset=use_overlap, fused=self.fused,
                     method=TokenizerCore.decode, mutable=["cache"],
                 )
                 return dec, vars_["cache"]
