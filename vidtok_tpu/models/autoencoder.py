@@ -393,7 +393,10 @@ class VideoTokenizer:
         axes = tuple(mesh.axis_names)
         key = ("forward_sharded", x.shape, sample, id(mesh))
         if key not in self._jit_cache:
-            fn = self._full_forward_fn(sample, fused=self.fused)
+            # fused=False: GSPMD cannot insert halo exchanges around
+            # pallas custom calls, so the H-sharded graph must use the XLA
+            # convs (whose halos the partitioner handles automatically).
+            fn = self._full_forward_fn(sample, fused=False)
             x_sharding = NamedSharding(mesh, P(None, None, None, axes, None))
             rep = NamedSharding(mesh, P())
             self._jit_cache[key] = jax.jit(
