@@ -249,6 +249,12 @@ class VideoTokenizer:
             fused = (env == "1" if env in ("0", "1")
                      else jax.default_backend() != "cpu")
         self.fused = bool(fused)
+        # Streaming chunks measured FASTER unfused on v5e (16-frame chunk:
+        # 101.9 ms XLA vs 116.0 fused; decode chunk 174.4 vs 184.0 — the
+        # kernels' per-call overhead outweighs their fusion win at B=1
+        # chunk shapes), so streaming paths default to the XLA graphs.
+        envs = os.environ.get("VIDTOK_FUSED_STREAMING")
+        self.fused_streaming = envs == "1" if envs in ("0", "1") else False
         self._rng = jax.random.PRNGKey(seed)
         self._jit_cache: Dict[Any, Any] = {}
 
@@ -437,7 +443,7 @@ class VideoTokenizer:
             xt = self.core.encoder.pad_input(xt)
             (z, log), vars_ = self.core.apply(
                 {"params": params}, xt, streaming=True, first_chunk=True,
-                sample_override=sample, fused=self.fused,
+                sample_override=sample, fused=self.fused_streaming,
                 rngs={"sample": rng},
                 method=TokenizerCore.encode, mutable=["cache"],
             )
@@ -447,7 +453,7 @@ class VideoTokenizer:
             xt = _to_nthwc(x).astype(self.compute_dtype)
             (z, log), vars_ = self.core.apply(
                 {"params": params, "cache": cache}, xt, streaming=True,
-                first_chunk=False, sample_override=sample, fused=self.fused,
+                first_chunk=False, sample_override=sample, fused=self.fused_streaming,
                 rngs={"sample": rng},
                 method=TokenizerCore.encode, mutable=["cache"],
             )
@@ -477,7 +483,7 @@ class VideoTokenizer:
             rngs = jax.random.split(rng, k + 1)
             (z0, log0), vars_ = self.core.apply(
                 {"params": params}, first, streaming=True, first_chunk=True,
-                sample_override=sample, fused=self.fused,
+                sample_override=sample, fused=self.fused_streaming,
                 rngs={"sample": rngs[0]},
                 method=TokenizerCore.encode, mutable=["cache"],
             )
@@ -491,7 +497,7 @@ class VideoTokenizer:
                 (z, log), vs = self.core.apply(
                     {"params": params, "cache": cache}, xc, streaming=True,
                     first_chunk=False, sample_override=sample,
-                    fused=self.fused, rngs={"sample": key_i},
+                    fused=self.fused_streaming, rngs={"sample": key_i},
                     method=TokenizerCore.encode, mutable=["cache"],
                 )
                 return vs["cache"], (z, log)
@@ -540,7 +546,7 @@ class VideoTokenizer:
                     variables["cache"] = cache
                 dec, vs = self.core.apply(
                     variables, zc, streaming=True, first_chunk=first,
-                    use_cache_offset=use_overlap, fused=self.fused,
+                    use_cache_offset=use_overlap, fused=self.fused_streaming,
                     method=TokenizerCore.decode, mutable=["cache"],
                 )
                 return dec, vs["cache"]
@@ -643,7 +649,7 @@ class VideoTokenizer:
                     variables["cache"] = cache
                 dec, vars_ = self.core.apply(
                     variables, zt, streaming=True, first_chunk=first_chunk,
-                    use_cache_offset=use_overlap, fused=self.fused,
+                    use_cache_offset=use_overlap, fused=self.fused_streaming,
                     method=TokenizerCore.decode, mutable=["cache"],
                 )
                 return dec, vars_["cache"]
