@@ -189,3 +189,40 @@ def test_subpixel_interleave_epilogue():
     y_f = m.apply(v, x, fused=True)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
                                atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["replicate", "zero"])
+def test_fused_e2e_random_params(mode):
+    """Fused-vs-unfused e2e with RANDOMIZED params (nonzero norm biases).
+
+    Regression for the activated-halo bug: spatial conv SAME padding is
+    zeros AFTER norm+silu, but ln_silu(0) = silu(bias) != 0 — structured
+    init (bias=0) masked it; random params catch it in every kernel
+    (spatial v2, pair, decoder tail, parity upsample)."""
+    from vidtok_tpu.models.autoencoder import (TokenizerCore,
+                                               build_core_from_config)
+
+    p = {"double_z": True, "z_channels": 4, "in_channels": 3, "out_ch": 3,
+         "ch": 32, "ch_mult": [1, 2], "time_downsample_factor": 2,
+         "num_res_blocks": 1, "norm_type": "layernorm",
+         "init_pad_mode": mode, "tempo_ds": [0], "tempo_us": [1]}
+    cfg = {"encoder_config": {"target": "EncoderCausal3D", "params": dict(p)},
+           "decoder_config": {"target": "DecoderCausal3D", "params": dict(p)},
+           "regularizer_config": {"target": "DiagonalGaussianRegularizer"}}
+    core, _ = build_core_from_config(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 5, 32, 32, 3).astype("float32"))
+    v = core.init({"params": jax.random.PRNGKey(0),
+                   "sample": jax.random.PRNGKey(0)}, x, sample_override=False)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype("float32") * 0.08),
+        v["params"])
+    e1 = core.apply({"params": params}, x, method=TokenizerCore.encode_raw)
+    e2 = core.apply({"params": params}, x, fused=True,
+                    method=TokenizerCore.encode_raw)
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), atol=3e-5)
+    z = e1[..., :4]
+    d1 = core.apply({"params": params}, z, method=TokenizerCore.decode)
+    d2 = core.apply({"params": params}, z, fused=True,
+                    method=TokenizerCore.decode)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=3e-5)

@@ -149,19 +149,36 @@ class Decoder(nn.Module):
                 return mod(h)
             return mod(h, deterministic=deterministic, **stream(off))
 
+        pair_ok = (fused and deterministic and not streaming and causal
+                   and self.norm_type == "layernorm" and self.dropout == 0.0
+                   and not remat_on and not self.is_initializing())
+
         ntu = 1
         for i_level in reversed(range(n)):
             block_out = self.ch * self.ch_mult[i_level]
             off = level_offs[i_level]
             for i_block in range(self.num_res_blocks + 1):
+                sp_name = f"up_{i_level}_block_{i_block}"
+                tm_name = f"up_temporal_{i_level}_block_{i_block}"
+                if pair_ok:
+                    # whole spatial+temporal pair in one Pallas kernel
+                    # (no HBM round-trip between the blocks)
+                    from ..ops.pallas.fused_pair import fused_pair_resblock
+
+                    p = self.variables["params"]
+                    y = fused_pair_resblock(h, p[sp_name], p[tm_name],
+                                            self.first_pad_mode)
+                    if y is not None:
+                        h = y
+                        continue
                 h = call(sp_cls(
                     block_out, norm_type=self.norm_type, dropout=self.dropout,
-                    name=f"up_{i_level}_block_{i_block}"), h, off)
+                    name=sp_name), h, off)
                 h = call(tm_cls(
                     block_out, causal=causal, norm_type=self.norm_type,
                     dropout=self.dropout, first_pad_mode=self.first_pad_mode,
                     cache_offset=off,
-                    name=f"up_temporal_{i_level}_block_{i_block}"), h, off)
+                    name=tm_name), h, off)
             if i_level in spatial_us:
                 h = SpatialUpsample(name=f"up_{i_level}_upsample")(
                     h, fused=fused, deterministic=deterministic)

@@ -65,6 +65,13 @@ def _kernel(xm_ref, xt_ref, xb_ref, g_ref, b_ref, km_ref, bias_ref,
     bot = jnp.where(j == nj - 1, jnp.zeros_like(bot), bot)
     xa = jnp.concatenate([top, xm, bot], axis=0)        # [R+2, W, C]
     h = _ln_silu(xa, g_ref[:], b_ref[:], eps)
+    # conv's SAME padding is zeros AFTER norm+silu (ln_silu(0) != 0 when
+    # the norm bias is nonzero) — kill the activated frame-edge halo rows
+    ra = h.shape[0]
+    aidx = jax.lax.broadcasted_iota(jnp.int32, (ra, 1, 1), 0)
+    akill = jnp.logical_or(jnp.logical_and(j == 0, aidx == 0),
+                           jnp.logical_and(j == nj - 1, aidx == ra - 1))
+    h = jnp.where(akill, jnp.zeros_like(h), h)
     hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))           # [R+2, W+2, C]
     ring_ref[t % 3] = hp
 

@@ -84,6 +84,14 @@ def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
     xa = jnp.concatenate([top, xm, bot], axis=0)   # [R+4, W, Cin]
 
     h1 = _ln_silu(xa, g1_ref[:], b1_ref[:], eps)
+    # conv1's SAME padding is zeros AFTER norm+silu — at frame edges the
+    # halo rows were zero INPUT, and ln_silu(0) = silu(bias) != 0 when the
+    # norm bias is nonzero; kill the activated phantom rows.
+    ra = h1.shape[0]
+    aidx = jax.lax.broadcasted_iota(jnp.int32, (ra, 1, 1), 0)
+    akill = jnp.logical_or(jnp.logical_and(j == 0, aidx < 2),
+                           jnp.logical_and(j == nj - 1, aidx >= ra - 2))
+    h1 = jnp.where(akill, jnp.zeros_like(h1), h1)
     c1 = _conv3x3(h1, k1_ref[:], c1b_ref[:])       # [R+2, W, C]
     h2 = _ln_silu(c1, g2_ref[:], b2_ref[:], eps)
     # conv2's SAME padding must tap ZERO beyond the frame — at frame
