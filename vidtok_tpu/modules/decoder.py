@@ -149,10 +149,6 @@ class Decoder(nn.Module):
                 return mod(h)
             return mod(h, deterministic=deterministic, **stream(off))
 
-        pair_ok = (fused and deterministic and not streaming and causal
-                   and self.norm_type == "layernorm" and self.dropout == 0.0
-                   and not remat_on and not self.is_initializing())
-
         ntu = 1
         for i_level in reversed(range(n)):
             block_out = self.ch * self.ch_mult[i_level]
@@ -160,17 +156,6 @@ class Decoder(nn.Module):
             for i_block in range(self.num_res_blocks + 1):
                 sp_name = f"up_{i_level}_block_{i_block}"
                 tm_name = f"up_temporal_{i_level}_block_{i_block}"
-                if pair_ok:
-                    # whole spatial+temporal pair in one Pallas kernel
-                    # (no HBM round-trip between the blocks)
-                    from ..ops.pallas.fused_pair import fused_pair_resblock
-
-                    p = self.variables["params"]
-                    y = fused_pair_resblock(h, p[sp_name], p[tm_name],
-                                            self.first_pad_mode)
-                    if y is not None:
-                        h = y
-                        continue
                 h = call(sp_cls(
                     block_out, norm_type=self.norm_type, dropout=self.dropout,
                     name=sp_name), h, off)

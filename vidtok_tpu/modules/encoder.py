@@ -138,25 +138,11 @@ class Encoder(nn.Module):
         else:
             h = Conv3d(self.ch, (3, 3, 3), name="conv_in")(x)
 
-        pair_ok = (fused and deterministic and not streaming and causal
-                   and self.norm_type == "layernorm" and self.dropout == 0.0
-                   and not remat_on and not self.is_initializing())
-
         for i_level in range(n):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks):
                 sp_name = f"down_{i_level}_block_{i_block}"
                 tm_name = f"down_temporal_{i_level}_block_{i_block}"
-                if pair_ok:
-                    # whole spatial+temporal pair in one Pallas kernel
-                    from ..ops.pallas.fused_pair import fused_pair_resblock
-
-                    p = self.variables["params"]
-                    y = fused_pair_resblock(h, p[sp_name], p[tm_name],
-                                            self.first_pad_mode)
-                    if y is not None:
-                        h = y
-                        continue
                 h = call(sp_cls(
                     block_out, norm_type=self.norm_type, dropout=self.dropout,
                     name=sp_name), h)
