@@ -10,10 +10,12 @@ realtime per chip = 150 frames/s at 30 fps), so the best-batch sustained
 number is the honest headline; single-call B=1 latency is tracked
 separately in tools/bench_suite.py.
 
-Measured context (see BENCH_NOTES.md): B=1 blocking 61.7 fps; B=1
-pipelined 67.9 fps (== the profiler device-time floor, dispatch fully
-hidden); B=4 blocking 78.0; B=4 pipelined 83.1. B=5 is slower per clip
-and B=6 OOMs on the 16 GB v5e.
+Measured context (see BENCH_NOTES.md): round-1 close was 61.3 fps (B=1
+blocking). Round-2: pipelining hides the relay dispatch entirely (B=1
+pipelined == profiler device total), B=4 is the batch sweet spot (B=5/6
+measured no better), and the inference Pallas kernels (fused spatial
+resblock v2, fused 3-base parity upsample, decoder-tail ring, subpixel
+interleave, fused temporal resblock) bring B=4 pipelined to 113 fps.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
