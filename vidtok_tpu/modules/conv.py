@@ -82,6 +82,12 @@ def conv3d(x, kernel, bias=None, stride=(1, 1, 1), padding="VALID"):
     st = stride[0]
     kernel = kernel.astype(x.dtype)
 
+    # NOTE: zero-padding narrow input channels (conv_in's RGB) to 8 looked
+    # 2.6x faster in isolation (tools/probe_convin.py: 3.95 -> 1.5 ms) but
+    # measured SLOWER in the real graph (conv_in 3.59 -> 4.13 ms/clip at
+    # B=4) — in context XLA already fuses the 3-channel conv with its
+    # surroundings and the explicit pad adds an unfused pass. Not applied.
+
     if _CONV_IMPL == "decomposed" and padding != "VALID":
         tpad = padding[0]
         if tpad != (0, 0):
