@@ -168,3 +168,65 @@ def test_torch_ckpt_end_to_end(tmp_path):
     z, dec, log = tok(jnp.asarray(arrays["x"]))
     np.testing.assert_allclose(np.asarray(dec), arrays["dec"], atol=2e-4,
                                rtol=2e-3)
+
+
+def test_convert_full_ckpt_cli(tmp_path):
+    """One-command released-checkpoint conversion (tools/convert_ckpt.py):
+    a full Lightning-layout .ckpt (core + loss.logvar + discriminator +
+    LitEma shadows, reference autoencoder.py:69-117 key layout) converts to
+    a sectioned .npz whose core section loads through the public API
+    identically to loading the .ckpt directly, and whose EMA/disc/logvar
+    sections round-trip with correct structure."""
+    import subprocess
+    import sys
+
+    import torch
+
+    from tests.golden_utils import load_golden
+    from vidtok_tpu import load_model_from_config
+    from vidtok_tpu.utils.checkpoint import load_full_npz
+
+    sd, _ = load_golden("full_ckpt")
+    state = {k: torch.tensor(v) for k, v in sd.items()}
+    ckpt = str(tmp_path / "released.ckpt")
+    torch.save({"state_dict": state, "global_step": 12345}, ckpt)
+
+    out = str(tmp_path / "released.npz")
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "convert_ckpt.py"),
+         ckpt, out],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert os.path.exists(out)
+
+    sections = load_full_npz(out)
+    for key in ("core", "logvar", "disc_params", "disc_stats", "ema_core",
+                "ema_num_updates"):
+        assert key in sections, f"missing section {key} (have {sorted(sections)})"
+    assert sections["ema_num_updates"] == 2
+
+    # EMA shadows: same tree as core, numerically different (EMA advanced)
+    assert (jax.tree_util.tree_structure(sections["ema_core"])
+            == jax.tree_util.tree_structure(sections["core"]))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - b))),
+        sections["core"], sections["ema_core"])
+    assert max(jax.tree_util.tree_leaves(diffs)) > 1e-6
+
+    # the golden's generator used ch_mult [1,2], tdf 2 (gen_goldens.gen_full_ckpt)
+    p = dict(double_z=True, z_channels=4, in_channels=3, out_ch=3, ch=32,
+             ch_mult=[1, 2], time_downsample_factor=2, num_res_blocks=1,
+             dropout=0.0, norm_type="layernorm", tempo_ds=[0], tempo_us=[1])
+    cfg = {"model": {"params": {
+        "encoder_config": {"target": "EncoderCausal3D", "params": dict(p)},
+        "decoder_config": {"target": "DecoderCausal3D", "params": dict(p)},
+        "regularizer_config": {"target": "DiagonalGaussianRegularizer"},
+        "ignore_keys": []}}}
+
+    x = jnp.asarray(np.random.RandomState(7)
+                    .randn(1, 3, 5, 16, 16).astype("float32") * 0.5)
+    tok_ckpt = load_model_from_config(cfg, ckpt=ckpt)
+    tok_npz = load_model_from_config(cfg, ckpt=out)
+    _, dec_a, _ = tok_ckpt(x)
+    _, dec_b, _ = tok_npz(x)
+    np.testing.assert_array_equal(np.asarray(dec_a), np.asarray(dec_b))

@@ -394,6 +394,38 @@ def gen_discriminators():
                                     x3=x3.numpy(), y3=y3.numpy()))
 
 
+def gen_full_ckpt():
+    """A complete Lightning-layout checkpoint: encoder/decoder/regularizer
+    + loss.logvar + loss.discriminator + model_ema shadows, with the EMA
+    advanced past init so shadows differ numerically from the live params.
+    Key layout matches the reference AutoencodingEngine
+    (autoencoder.py:69-117: self.encoder/decoder/regularization/loss,
+    self.model_ema = LitEma(self)); exercises tools/convert_ckpt.py."""
+    from vidtok.modules import discriminator as refdisc
+    from vidtok.modules.ema import LitEma
+
+    cfg = small_cfg(ch_mult=[1, 2], tempo_ds=[0], tempo_us=[1],
+                    time_downsample_factor=2)
+    full = torch.nn.Module()
+    full.encoder = reinit(m1.EncoderCausal3DPadding(**cfg), 31)
+    full.decoder = reinit(m1.DecoderCausal3DPadding(**cfg), 32)
+    full.regularization = refreg.DiagonalGaussianRegularizer()
+    full.loss = torch.nn.Module()
+    full.loss.logvar = torch.nn.Parameter(torch.tensor(0.123))
+    full.loss.discriminator = reinit(
+        refdisc.NLayerDiscriminator3D(input_nc=3, n_layers=2,
+                                      use_actnorm=False), 33)
+    full.model_ema = LitEma(full, decay=0.99)
+    # advance: perturb params, step the EMA twice -> shadows != params
+    with torch.no_grad():
+        for p in full.parameters():
+            p.add_(0.01 * torch.randn(p.shape,
+                                      generator=torch.Generator().manual_seed(34)))
+    full.model_ema(full)
+    full.model_ema(full)
+    save("full_ckpt", full.state_dict(), {})
+
+
 def gen_actnorm():
     """ActNorm: standalone (data-init + logdet) and inside the 2D PatchGAN
     (reference discriminator.py:16-85, use_actnorm path :99-106)."""
@@ -827,6 +859,7 @@ def main():
     gen_lr_schedules()
     gen_discriminators()
     gen_actnorm()
+    gen_full_ckpt()
     print("done")
 
 

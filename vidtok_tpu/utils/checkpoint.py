@@ -229,6 +229,8 @@ def load_params(path: str, core=None, meta=None, verbose: bool = True,
     autoencoder.py:146-176)."""
     if path.endswith(".npz"):
         flat = dict(np.load(path, allow_pickle=False))
+        if any("//" in k for k in flat):  # full-checkpoint npz: core section
+            return load_full_npz(path)["core"]
         return unflatten_params(flat)
     if path.endswith(".msgpack"):
         from flax import serialization
@@ -292,6 +294,92 @@ def unflatten_params(flat: Dict[str, np.ndarray]) -> dict:
 def save_params(path: str, params: dict):
     flat = flatten_params(jax.device_get(params))
     np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
+
+
+# ---------------------------------------------------------------------------
+# Full-checkpoint conversion (every trainable section of a released
+# Lightning .ckpt: core + loss.logvar + discriminator + LitEma shadows)
+# ---------------------------------------------------------------------------
+
+
+def convert_full_checkpoint(sd: Dict[str, np.ndarray]) -> dict:
+    """Lightning .ckpt state_dict -> every section our trainer uses.
+
+    Returns a dict with keys (absent when the source lacks them):
+      core        nested flax params for TokenizerCore
+      logvar      the learned loss.logvar scalar (losses.py, learn_logvar)
+      disc_params / disc_stats   NLayerDiscriminator(3D) params+batch stats
+      ema_core / ema_logvar      LitEma shadow params, mapped back through
+                                 the same transforms as their sources
+      ema_num_updates            LitEma step counter
+
+    LitEma buffer names are source param names with '.' stripped
+    (reference vidtok/modules/ema.py:19-23); the inverse mapping is
+    reconstructed from the non-EMA keys, which is exact because LitEma
+    shadows precisely the requires-grad params of the same module.
+    """
+    out = {"core": convert_torch_state_dict(sd)}
+    if "loss.logvar" in sd:
+        out["logvar"] = np.asarray(sd["loss.logvar"]).reshape(())
+    if any(k.startswith("loss.discriminator.") for k in sd):
+        dp, ds = convert_discriminator_state_dict(sd)
+        out["disc_params"], out["disc_stats"] = dp, ds
+
+    ema = {k[len("model_ema."):]: np.asarray(v) for k, v in sd.items()
+           if k.startswith("model_ema.")}
+    if ema:
+        if "num_updates" in ema:
+            out["ema_num_updates"] = int(ema.pop("num_updates"))
+        ema.pop("decay", None)
+        sname_to_key = {k.replace(".", ""): k for k in sd
+                        if not k.startswith("model_ema.")}
+        shadow_sd = {}
+        unmatched = []
+        for sname, arr in ema.items():
+            key = sname_to_key.get(sname)
+            if key is None:
+                unmatched.append(sname)
+            else:
+                shadow_sd[key] = arr
+        if unmatched:
+            print(f"[checkpoint] {len(unmatched)} EMA shadows had no source "
+                  f"param (first: {unmatched[0]}) — dropped")
+        out["ema_core"] = convert_torch_state_dict(shadow_sd)
+        if "loss.logvar" in shadow_sd:
+            out["ema_logvar"] = np.asarray(shadow_sd["loss.logvar"]).reshape(())
+    return out
+
+
+def save_full_npz(path: str, sections: dict):
+    """Write convert_full_checkpoint output as one flat .npz.
+
+    Tree sections flatten with a ``<section>//`` prefix; scalars save
+    directly. ``load_params`` on such a file returns the core tree (so the
+    file drops into ``ckpt_path``); ``load_full_npz`` returns everything.
+    """
+    flat: Dict[str, np.ndarray] = {}
+    for name, val in sections.items():
+        if isinstance(val, dict):
+            for k, a in flatten_params(val).items():
+                flat[f"{name}//{k}"] = a
+        else:
+            flat[name] = np.asarray(val)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
+
+
+def load_full_npz(path: str) -> dict:
+    raw = dict(np.load(path, allow_pickle=False))
+    sections: dict = {}
+    for key, arr in raw.items():
+        if "//" in key:
+            name, sub = key.split("//", 1)
+            sections.setdefault(name, {})[sub] = arr
+        else:
+            sections[key] = arr
+    for name, val in list(sections.items()):
+        if isinstance(val, dict):
+            sections[name] = unflatten_params(val)
+    return sections
 
 
 # ---------------------------------------------------------------------------
