@@ -93,6 +93,16 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
             tile_s = max(64, min(_TILE_S * 128 // c, 512))
         else:
             tile_s = 128  # measured default (61.4 fps end-to-end)
+        # The block is [1, t, tile_s, c]: VMEM scales with t. tile_s=128
+        # is proven on hardware at t=20, c=512; shrink by powers of two to
+        # keep t*tile_s*c inside that proven budget, else Mosaic blows the
+        # 16 MB scoped-VMEM limit and the whole compile fails (hit at
+        # T=33/65 serving shapes).
+        budget = 20 * 128 * 512
+        while tile_s > 8 and t * tile_s * c > budget:
+            tile_s //= 2
+        if t * tile_s * c > budget:
+            return None  # extreme T: caller uses the XLA module path
     s = h * w
     while s % tile_s != 0 and tile_s > 8:
         tile_s //= 2
