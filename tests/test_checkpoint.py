@@ -182,6 +182,10 @@ def test_convert_full_ckpt_cli(tmp_path):
 
     import torch
 
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)  # drop axon sitecustomize: force CPU
+
     from tests.golden_utils import load_golden
     from vidtok_tpu import load_model_from_config
     from vidtok_tpu.utils.checkpoint import load_full_npz
@@ -195,7 +199,7 @@ def test_convert_full_ckpt_cli(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools", "convert_ckpt.py"),
          ckpt, out],
-        capture_output=True, text=True, timeout=300)
+        capture_output=True, text=True, timeout=300, env=env)
     assert r.returncode == 0, r.stdout + r.stderr
     assert os.path.exists(out)
 
