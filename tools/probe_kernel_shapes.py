@@ -54,10 +54,14 @@ def stage_shapes(b, t_in):
 
 
 def run_one(kind, shp):
-    rs = np.random.RandomState(0)
+    # device-side generation: pushing GB-scale host arrays through the
+    # axon relay dominates otherwise
+    seed = [0]
 
     def arr(*s):
-        return jnp.asarray(rs.randn(*s).astype(np.float32) * 0.05, DT)
+        seed[0] += 1
+        return (jax.random.normal(jax.random.PRNGKey(seed[0]), s, jnp.float32)
+                * 0.05).astype(DT)
 
     if kind == "temporal":
         from vidtok_tpu.ops.pallas.fused_temporal import fused_temporal_resblock

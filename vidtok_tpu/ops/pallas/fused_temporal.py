@@ -93,12 +93,15 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
             tile_s = max(64, min(_TILE_S * 128 // c, 512))
         else:
             tile_s = 128  # measured default (61.4 fps end-to-end)
-        # The block is [1, t, tile_s, c]: VMEM scales with t. tile_s=128
-        # is proven on hardware at t=20, c=512; shrink by powers of two to
-        # keep t*tile_s*c inside that proven budget, else Mosaic blows the
-        # 16 MB scoped-VMEM limit and the whole compile fails (hit at
-        # T=33/65 serving shapes).
-        budget = 20 * 128 * 512
+        # The block is [1, t, tile_s, c]: VMEM scales with t, and Mosaic
+        # kills the whole compile (relay HTTP 500) when the block's f32
+        # working set blows the 16 MB scoped-VMEM limit. Hardware probe
+        # (tools/probe_kernel_shapes.py, v5e): t*tile_s*c = 1,179,648
+        # (36x128x256 and 18x128x512) and 819,200 (100x64x128) FAIL;
+        # 688,128 (84x64x128 and 21x64x512, the T=81 serving graph)
+        # passes. Shrink by powers of two to stay inside the proven
+        # ceiling. T=17 flagship blocks (<= 655,360) are unaffected.
+        budget = 84 * 64 * 128
         while tile_s > 8 and t * tile_s * c > budget:
             tile_s //= 2
         if t * tile_s * c > budget:
