@@ -149,6 +149,78 @@ def main():
         print(f"stream decode overlap chunk (4+1 latents -> {nf} usable f): "
               f"{med*1e3:.1f} ms -> {nf/med:.1f} frames/s steady-state")
 
+    if "multistream" in sections:
+        # S independent streams batched through ONE scan step: the chunk
+        # graphs get the same batch-widening that lifted the fixed-clip
+        # protocol (B=1->4), at unchanged per-stream latency semantics.
+        # Parity vs S separate single-stream runs: tests/
+        # test_streaming_batched.py.
+        S = int(os.environ.get("VIDTOK_MULTISTREAM", "4"))
+        tok.params = params
+        tok.use_tiling = True
+        tok.t_chunk_enc = 16
+        first_fn, step_fn = tok._stream_encode_fns(
+            (S, 3, 16, H, W), (S, 3, 1, H, W), False)
+        xs = jnp.asarray(np.random.RandomState(4)
+                         .randn(S, 3, 17, H, W).astype(np.float32) * 0.5)
+        _, _, cache = first_fn(params, xs[:, :, :1], rng)
+        xck = xs[:, :, 1:17]
+
+        def onem():
+            z, log, c2 = step_fn(params, cache, xck, rng)
+            return float(jnp.sum(z))
+
+        med = timeit(onem)
+        print(f"multistream encode ({S} streams x 16f): {med*1e3:.1f} ms -> "
+              f"{S*16/med:.1f} aggregate frames/s")
+
+        tok.use_overlap = True
+        dfirst_fn, dstep_fn = tok._stream_decode_fns(True)
+        z0 = jnp.asarray(np.random.RandomState(5)
+                         .randn(S, 16, 1, H // 8, W // 8).astype(np.float32))
+        zk = jnp.asarray(np.random.RandomState(6)
+                         .randn(S, 16, 5, H // 8, W // 8).astype(np.float32))
+        _, dcache = dfirst_fn(params, None, z0)
+        tdf = tok.time_downsample_factor
+        nf = dstep_fn(params, dcache, zk)[0].shape[1] - tdf
+
+        def onemd():
+            d, c2 = dstep_fn(params, dcache, zk)
+            return float(jnp.sum(d[:, :nf]))
+
+        med = timeit(onemd)
+        print(f"multistream decode overlap ({S} streams x {nf} usable f): "
+              f"{med*1e3:.1f} ms -> {S*nf/med:.1f} aggregate frames/s")
+
+    if "vidtwin" in sections:
+        # VidTwin ST-transformer throughput at the shipped 16x224x224
+        # config (VERDICT r2 #7: the reference's differentiator here is
+        # flash-attn, st_transformer.py:113-122; ours is XLA SDPA with
+        # fp32 softmax — this measures whether that holds up).
+        from vidtok_tpu.models.vidtwin.engine import VidTwinTokenizer
+
+        cfgp = os.path.join(
+            os.path.dirname(CONFIG), "vidtwin",
+            "vidtwin_structure_7_7_8_dynamics_7_8.yaml")
+        vt = VidTwinTokenizer.from_config(cfgp)
+        vt.params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            vt.params)
+        Bv = int(os.environ.get("VIDTOK_VIDTWIN_B", "4"))
+        xv = jnp.asarray(np.random.RandomState(7)
+                         .randn(Bv, 3, 16, 224, 224).astype(np.float32) * 0.5,
+                         jnp.bfloat16)
+
+        lat = vt.encode(xv)                       # compile+warm encode
+        u_s, u_dx, u_dy = lat[0], lat[1], lat[2]
+        med = timeit(lambda: float(jnp.sum(vt.encode(xv)[0])))
+        print(f"vidtwin encode (B={Bv}, 16x224x224): {med*1e3:.1f} ms -> "
+              f"{Bv*16/med:.1f} frames/s")
+
+        med = timeit(lambda: float(jnp.sum(vt.decode(u_s, u_dx, u_dy))))
+        print(f"vidtwin decode (B={Bv}, 16x224x224): {med*1e3:.1f} ms -> "
+              f"{Bv*16/med:.1f} frames/s")
+
 
 if __name__ == "__main__":
     main()

@@ -39,7 +39,8 @@ def build(which):
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16),
                                     tok.params)
     B = int(os.environ.get("VIDTOK_PROF_B", "1"))
-    T, H, W = 17, 256, 256
+    T = int(os.environ.get("VIDTOK_PROF_T", "17"))
+    H = W = 256
 
     if which == "encode":
         x = jnp.asarray(np.random.RandomState(0)
@@ -57,7 +58,8 @@ def build(which):
         return (lambda: enc(params, x, rng)), None
     else:
         z = jnp.asarray(np.random.RandomState(1)
-                        .randn(B, 16, 5, 32, 32).astype(np.float32) * 0.5)
+                        .randn(B, 16, (T + 3) // 4, 32, 32)
+                        .astype(np.float32) * 0.5)
 
         @jax.jit
         def dec(params, z):
