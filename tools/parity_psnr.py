@@ -154,9 +154,12 @@ def stage_jax(src):
     ref = data["recon"]
     results = {"psnr_ref": split_psnr(x, ref)}
 
-    # (a) f32 parity path (no fused kernels)
+    # (a) f32 parity path (no fused kernels). jax.jit like bench.py —
+    # op-by-op dispatch compiles each pallas_call standalone through a
+    # stricter AOT path that rejects graphs the jitted serving graph
+    # compiles fine.
     tok32 = VideoTokenizer(core, params, meta)
-    fn32 = tok32._full_forward_fn(sample=False, fused=False)
+    fn32 = jax.jit(tok32._full_forward_fn(sample=False, fused=False))
     _, dec32, _ = fn32(tok32.params, jnp.asarray(x), jax.random.PRNGKey(0))
     dec32 = np.asarray(dec32, dtype=np.float32)
 
@@ -166,7 +169,7 @@ def stage_jax(src):
     p16 = jax.tree_util.tree_map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
         tok16.params)
-    fn16 = tok16._full_forward_fn(sample=False, fused=True)
+    fn16 = jax.jit(tok16._full_forward_fn(sample=False, fused=True))
     _, dec16, _ = fn16(p16, jnp.asarray(x), jax.random.PRNGKey(0))
     dec16 = np.asarray(dec16.astype(jnp.float32))
 

@@ -145,6 +145,15 @@ def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
         return None
     if not interpret and (w % 16 or cin % 128 or c % 128):
         return None  # sub-lane-width channels: XLA path is fine there
+    # The r/w/c working set above is calibrated for 2-byte elements
+    # (bf16 serving, hardware-proven); wider dtypes double it past the
+    # 16 MB scoped-VMEM limit at the big stages — same failure class as
+    # the f32 parity-upsample OOM. Halve the row tile for 4-byte inputs
+    # and bail when even r=4 leaves an oversized weight+halo set.
+    if not interpret and jnp.dtype(x.dtype).itemsize > 2:
+        r = max(4, r // 2)
+        if h % r or (cin + c) * (w + 2) * (r + 2) * 4 > (12 << 20):
+            return None
     has_nin = "nin_shortcut" in params
     dt = x.dtype
 

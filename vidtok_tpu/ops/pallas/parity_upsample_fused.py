@@ -109,6 +109,14 @@ def parity_up2x_fused(s, k, bias, alpha, first_pad_mode,
         return None
     if not interpret and (w % 16 or c % 128 or cc % 128):
         return None
+    # VMEM guard: the weight block [1,3,3,C,3cc] plus the row blocks put
+    # Mosaic's scoped-VMEM accounting at 35 MB (C=512, w=128) and
+    # 19.75 MB (C=256, w=256) in f32 — both over the 16 MB limit, both
+    # killing the whole compile server-side — while the bf16 serving
+    # graph is hardware-proven at the same shapes. Wide-channel f32
+    # falls back to the caller's XLA parity path.
+    if not interpret and c >= 256 and jnp.dtype(s.dtype).itemsize > 2:
+        return None
     g = c // cc
     dt = s.dtype
 
