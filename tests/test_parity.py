@@ -198,6 +198,27 @@ def test_metrics_parity():
     assert abs(float(compute_ssim(arrays["x2"], arrays["y2"])) - float(arrays["ssim2"])) < 1e-4
 
 
+def test_metrics_ssim_variants_parity():
+    """Per-channel and complex SSIM variants vs the torch reference
+    (util.py:181-302; goldens regenerated on miss)."""
+    _, arrays = load_golden("metrics")
+    if "ss_pc" not in arrays:
+        import pytest
+        pytest.skip("metrics golden predates SSIM-variant fields; "
+                    "regen via tools/gen_goldens.py")
+    from vidtok_tpu.ops.metrics import (ssim_per_channel,
+                                        ssim_per_channel_complex)
+
+    xf, yf = arrays["x"][:, :, 0], arrays["y"][:, :, 0]
+    ss, cs = ssim_per_channel(xf, yf)
+    np.testing.assert_allclose(np.asarray(ss), arrays["ss_pc"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cs), arrays["cs_pc"], atol=1e-5)
+
+    ss_c, cs_c = ssim_per_channel_complex(arrays["xc"], arrays["yc"])
+    np.testing.assert_allclose(np.asarray(ss_c), arrays["ss_cx"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cs_c), arrays["cs_cx"], atol=1e-5)
+
+
 def test_fsq_projections_roundtrip():
     """FSQ with dim != len(levels): project_in/out Linears
     (reference regularizers.py:137-139); indices->latent must equal the

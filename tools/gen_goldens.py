@@ -356,10 +356,23 @@ def gen_metrics():
     y2 = torch.clamp(x2 + 0.05 * randn(1, 3, 2, 600, 600, seed=8), 0, 1)
     psnr2 = refutil.compute_psnr(x2, y2).item()
     ssim2 = refutil.compute_ssim(x2, y2).item()
+    # per-channel + complex SSIM variants (util.py:181-302; unused by the
+    # reference's own scripts but part of its metric surface)
+    xf = x[:, :, 0]
+    yf = y[:, :, 0]
+    kernel = refutil.gaussian_filter(
+        11, 1.5, dtype=torch.float32).repeat(xf.size(1), 1, 1, 1)
+    ss_pc, cs_pc = refutil._ssim_per_channel(xf, yf, kernel)
+    xc = torch.stack([xf, yf], dim=-1)
+    yc = torch.stack([torch.clamp(yf + 0.05, 0, 1), xf], dim=-1)
+    ss_cx, cs_cx = refutil._ssim_per_channel_complex(xc, yc, kernel)
     save("metrics", {}, dict(
         x=x.numpy(), y=y.numpy(), psnr=np.float64(psnr), ssim=np.float64(ssim),
         x2=x2.numpy(), y2=y2.numpy(), psnr2=np.float64(psnr2),
         ssim2=np.float64(ssim2),
+        ss_pc=ss_pc.numpy(), cs_pc=cs_pc.numpy(),
+        xc=xc.numpy(), yc=yc.numpy(),
+        ss_cx=ss_cx.numpy(), cs_cx=cs_cx.numpy(),
     ))
 
 

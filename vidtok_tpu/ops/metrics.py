@@ -51,6 +51,69 @@ def _avg_pool2d(x, f):
     return x.mean(axis=(3, 5))
 
 
+def ssim_per_channel(x, y, k1: float = 0.01, k2: float = 0.03):
+    """Per-channel SSIM and contrast sensitivity for [N,C,H,W] inputs
+    (reference util.py:181-232 semantics: 11x11 gaussian VALID window,
+    alpha=beta=gamma=1). Returns (ssim [N,C], cs [N,C])."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    kernel = _gaussian_kernel(11, 1.5)
+    c1, c2 = k1**2, k2**2
+
+    mu_x = _blur(x, kernel)
+    mu_y = _blur(y, kernel)
+    mu_xx, mu_yy, mu_xy = mu_x**2, mu_y**2, mu_x * mu_y
+    sigma_xx = _blur(x * x, kernel) - mu_xx
+    sigma_yy = _blur(y * y, kernel) - mu_yy
+    sigma_xy = _blur(x * y, kernel) - mu_xy
+
+    cs = (2.0 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
+    ss = (2.0 * mu_xy + c1) / (mu_xx + mu_yy + c1) * cs
+    return ss.mean(axis=(-1, -2)), cs.mean(axis=(-1, -2))
+
+
+def ssim_per_channel_complex(x, y, k1: float = 0.01, k2: float = 0.03):
+    """Per-channel SSIM/CS for complex-valued [N,C,H,W,2] inputs
+    (last axis = real/imag; reference util.py:234-302). Returns
+    (ssim [N,C,2], cs [N,C,2]) matching the reference's stacked
+    (imag, real) covariance layout."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    kernel = _gaussian_kernel(11, 1.5)
+    c1, c2 = k1**2, k2**2
+
+    xr, xi = x[..., 0], x[..., 1]
+    yr, yi = y[..., 0], y[..., 1]
+
+    mu1r, mu1i = _blur(xr, kernel), _blur(xi, kernel)
+    mu2r, mu2i = _blur(yr, kernel), _blur(yi, kernel)
+
+    mu1_sq = mu1r**2 + mu1i**2
+    mu2_sq = mu2r**2 + mu2i**2
+    mu12r = mu1r * mu2r - mu1i * mu2i
+    mu12i = mu1r * mu2i + mu1i * mu2r
+
+    x_sq = xr**2 + xi**2
+    y_sq = yr**2 + yi**2
+    xyr = xr * yr - xi * yi
+    xyi = xr * yi + xi * yr
+
+    sigma1_sq = _blur(x_sq, kernel) - mu1_sq
+    sigma2_sq = _blur(y_sq, kernel) - mu2_sq
+    sigma12r = _blur(xyr, kernel) - mu12r
+    sigma12i = _blur(xyi, kernel) - mu12i
+
+    # the reference stacks (imag, real) for sigma12 and (real, imag) for
+    # mu1_mu2 — kept verbatim (util.py:292-294)
+    sigma12 = jnp.stack((sigma12i, sigma12r), axis=-1)
+    mu1_mu2 = jnp.stack((mu12r, mu12i), axis=-1)
+    cs_map = (sigma12 * 2 + c2) / (sigma1_sq[..., None]
+                                   + sigma2_sq[..., None] + c2)
+    ssim_map = (mu1_mu2 * 2 + c1) / (mu1_sq[..., None]
+                                     + mu2_sq[..., None] + c1) * cs_map
+    return ssim_map.mean(axis=(-2, -3)), cs_map.mean(axis=(-2, -3))
+
+
 def compute_ssim(x, y):
     """Mean per-frame SSIM, 11x11 gaussian window, auto-downscale to ~256
     (reference util.py:157-231)."""
@@ -62,17 +125,5 @@ def compute_ssim(x, y):
         x = _avg_pool2d(x, f)
         y = _avg_pool2d(y, f)
 
-    kernel = _gaussian_kernel(11, 1.5)
-    c1, c2 = 0.01**2, 0.03**2
-
-    mu_x = _blur(x, kernel)
-    mu_y = _blur(y, kernel)
-    mu_xx, mu_yy, mu_xy = mu_x**2, mu_y**2, mu_x * mu_y
-    sigma_xx = _blur(x * x, kernel) - mu_xx
-    sigma_yy = _blur(y * y, kernel) - mu_yy
-    sigma_xy = _blur(x * y, kernel) - mu_xy
-
-    cs = (2.0 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
-    ss = (2.0 * mu_xy + c1) / (mu_xx + mu_yy + c1) * cs
-    ssim_val = ss.mean(axis=(-1, -2)).mean(axis=1)  # per-frame, channel mean
-    return jnp.mean(ssim_val)
+    ss, _ = ssim_per_channel(x, y)
+    return jnp.mean(ss.mean(axis=1))
