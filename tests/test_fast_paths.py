@@ -266,3 +266,19 @@ def test_fused_temporal_long_t_tile_shrink():
     y2_ref = m2.apply({"params": p2}, x2, fused=False)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y2_ref),
                                atol=2e-5)
+
+
+def test_parity_upsample_f32_wide_channel_guard():
+    """Wide-channel f32 must be rejected pre-compile (Mosaic accounts the
+    C=512 call at 35 MB scoped VMEM / C=256,w=256 at 19.75 MB — over the
+    16 MB limit; bf16 at the same shapes is hardware-proven)."""
+    from vidtok_tpu.ops.pallas.parity_upsample_fused import parity_up2x_fused
+
+    rng = np.random.RandomState(0)
+    s = jnp.asarray(rng.randn(1, 2, 8, 128, 256).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 256, 256).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(256).astype(np.float32))
+    assert parity_up2x_fused(s, k, b, 0.5, "zero", interpret=False) is None
+    # interpret mode (tests) is exempt: no hardware VMEM involved
+    out = parity_up2x_fused(s, k, b, 0.5, "zero", interpret=True)
+    assert out is not None and out.shape == (1, 4, 8, 128, 256)
