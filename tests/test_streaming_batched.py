@@ -68,3 +68,22 @@ def test_batched_streams_scan_graph():
     np.testing.assert_allclose(np.asarray(zb),
                                np.concatenate([np.asarray(z) for z in z1], 0),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_chunk_size_is_a_pure_serving_knob():
+    """Bigger streaming chunks (t_chunk 8 vs 4) must produce identical
+    tokens and reconstructions — the chunk size only changes the
+    step-graph shape (and the overlap lookahead waste fraction), never
+    the math. Backs the larger-chunk multistream serving variant in
+    tools/bench_suite.py."""
+    S, T, H, W = 2, 17, 16, 16
+    x = np.random.RandomState(2).randn(S, 3, T, H, W).astype("float32") * 0.5
+
+    outs = {}
+    for tc in (4, 8):
+        tok = _tok(use_overlap=True, t_chunk_enc=tc)
+        z = tok.encode(jnp.asarray(x))
+        d = tok.decode(z)
+        outs[tc] = (np.asarray(z), np.asarray(d))
+    np.testing.assert_allclose(outs[4][0], outs[8][0], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(outs[4][1], outs[8][1], atol=1e-5, rtol=1e-5)

@@ -162,35 +162,42 @@ def main():
         first_fn, step_fn = tok._stream_encode_fns(
             (S, 3, 16, H, W), (S, 3, 1, H, W), False)
         xs = jnp.asarray(np.random.RandomState(4)
-                         .randn(S, 3, 17, H, W).astype(np.float32) * 0.5)
+                         .randn(S, 3, 33, H, W).astype(np.float32) * 0.5)
         _, _, cache = first_fn(params, xs[:, :, :1], rng)
-        xck = xs[:, :, 1:17]
+        for tc in (16, 32):
+            xck = xs[:, :, 1:1 + tc]
 
-        def onem():
-            z, log, c2 = step_fn(params, cache, xck, rng)
-            return float(jnp.sum(z))
+            def onem():
+                z, log, c2 = step_fn(params, cache, xck, rng)
+                return float(jnp.sum(z))
 
-        med = timeit(onem)
-        print(f"multistream encode ({S} streams x 16f): {med*1e3:.1f} ms -> "
-              f"{S*16/med:.1f} aggregate frames/s")
+            med = timeit(onem)
+            print(f"multistream encode ({S} streams x {tc}f): "
+                  f"{med*1e3:.1f} ms -> {S*tc/med:.1f} aggregate frames/s")
 
         tok.use_overlap = True
         dfirst_fn, dstep_fn = tok._stream_decode_fns(True)
         z0 = jnp.asarray(np.random.RandomState(5)
                          .randn(S, 16, 1, H // 8, W // 8).astype(np.float32))
-        zk = jnp.asarray(np.random.RandomState(6)
-                         .randn(S, 16, 5, H // 8, W // 8).astype(np.float32))
         _, dcache = dfirst_fn(params, None, z0)
         tdf = tok.time_downsample_factor
-        nf = dstep_fn(params, dcache, zk)[0].shape[1] - tdf
+        # 4+1 latents (the reference chunk_size-16 default) and 8+1 (a
+        # bigger serving chunk: overlap lookahead waste 20% -> 11%); the
+        # step fn is shape-polymorphic so this is purely a serving knob.
+        for nlat in (5, 9):
+            zk = jnp.asarray(np.random.RandomState(6)
+                             .randn(S, 16, nlat, H // 8, W // 8)
+                             .astype(np.float32))
+            nf = dstep_fn(params, dcache, zk)[0].shape[1] - tdf
 
-        def onemd():
-            d, c2 = dstep_fn(params, dcache, zk)
-            return float(jnp.sum(d[:, :nf]))
+            def onemd():
+                d, c2 = dstep_fn(params, dcache, zk)
+                return float(jnp.sum(d[:, :nf]))
 
-        med = timeit(onemd)
-        print(f"multistream decode overlap ({S} streams x {nf} usable f): "
-              f"{med*1e3:.1f} ms -> {S*nf/med:.1f} aggregate frames/s")
+            med = timeit(onemd)
+            print(f"multistream decode overlap ({S} streams x {nlat - 1}+1 "
+                  f"latents -> {nf} usable f): {med*1e3:.1f} ms -> "
+                  f"{S*nf/med:.1f} aggregate frames/s")
 
     if "vidtwin" in sections:
         # VidTwin ST-transformer throughput at the shipped 16x224x224
