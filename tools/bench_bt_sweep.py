@@ -32,8 +32,7 @@ def main():
     for a in sys.argv[1:]:
         parts = a.split(":")
         combos.append((int(parts[0]), int(parts[1]), "nofuse" in parts))
-    combos = combos or [(4, 17, False), (2, 33, False), (1, 65, False),
-                        (1, 81, False)]
+    combos = combos or [(4, 17, False), (1, 81, False), (1, 161, False)]
     tok = load_model_from_config(
         os.path.join(ROOT, "configs", "vidtok_kl_causal_488_16chn.yaml"),
         init_shape=(1, 5, 64, 64), compute_dtype=jnp.bfloat16)
