@@ -87,3 +87,24 @@ def test_chunk_size_is_a_pure_serving_knob():
         outs[tc] = (np.asarray(z), np.asarray(d))
     np.testing.assert_allclose(outs[4][0], outs[8][0], atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(outs[4][1], outs[8][1], atol=1e-5, rtol=1e-5)
+
+
+def test_fused_streaming_matches_unfused():
+    """VIDTOK_FUSED_STREAMING=1 routes the chunk graphs through the
+    Pallas kernels (interpret-exact on CPU); tokens and reconstructions
+    must match the default XLA chunk graphs — the A/B behind the
+    multistream fused-kernel serving decision."""
+    S, T, H, W = 2, 9, 16, 16
+    x = np.random.RandomState(3).randn(S, 3, T, H, W).astype("float32") * 0.5
+
+    outs = {}
+    for fused in (False, True):
+        tok = _tok(use_overlap=True)
+        tok.fused_streaming = fused
+        z = tok.encode(jnp.asarray(x))
+        d = tok.decode(z)
+        outs[fused] = (np.asarray(z), np.asarray(d))
+    np.testing.assert_allclose(outs[False][0], outs[True][0],
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(outs[False][1], outs[True][1],
+                               atol=2e-5, rtol=1e-5)
