@@ -133,3 +133,32 @@ def test_temporal_causality():
     np.testing.assert_allclose(np.asarray(z1[:, :2]), np.asarray(z2[:, :2]),
                                atol=1e-5)
     assert not np.allclose(np.asarray(z1[:, 2:]), np.asarray(z2[:, 2:]))
+
+
+def test_engine_forward_and_cross_reenact(tmp_path):
+    """VidTwinTokenizer public engine: from_config init, NCTHW forward,
+    and cross-reenactment (structure of A + dynamics of B — reference
+    inference_vidtwin_cross_reconstruct.py:232-239) run end-to-end and
+    keep shapes."""
+    import yaml
+
+    from vidtok_tpu.models.vidtwin.engine import VidTwinTokenizer
+
+    cfg = {"model": {"target": "VidTwinVAE", **small_cfg()}}
+    p = tmp_path / "tiny_vidtwin.yaml"
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    tok = VidTwinTokenizer.from_config(str(p))
+    x = np.random.RandomState(0).randn(2, 3, 4, 32, 32).astype("float32") * 0.3
+    z, dec, log = tok.forward(jnp.asarray(x))
+    assert dec.shape == x.shape
+    assert np.isfinite(np.asarray(dec)).all()
+
+    u_s, u_dx, u_dy, _ = tok.encode(jnp.asarray(x))
+    dec2 = tok.decode(u_s, u_dx, u_dy)
+    assert dec2.shape == x.shape
+
+    xr = tok.cross_reenact(jnp.asarray(x[:1]), jnp.asarray(x[1:]))
+    assert xr.shape == (1,) + x.shape[1:]
+    assert np.isfinite(np.asarray(xr)).all()
