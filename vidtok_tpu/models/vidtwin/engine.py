@@ -47,10 +47,15 @@ class VidTwinTokenizer:
 
                 params = load_params(ckpt)
         else:
-            x = jnp.zeros((1, t, h, w, model.encoder.in_channels))
-            params = model.init({"params": jax.random.PRNGKey(seed),
-                                 "sample": jax.random.PRNGKey(0)}, x,
-                                sample_override=False)["params"]
+            # init on the host CPU backend: the init program is one-shot,
+            # and on the axon TPU relay its compile+execute costs minutes
+            # per fresh process (same pattern as VideoTokenizer.from_config)
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                x = jnp.zeros((1, t, h, w, model.encoder.in_channels))
+                params = model.init({"params": jax.random.PRNGKey(seed),
+                                     "sample": jax.random.PRNGKey(0)}, x,
+                                    sample_override=False)["params"]
         return cls(model, params, seed=seed)
 
     def _next_rng(self):
