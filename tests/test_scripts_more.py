@@ -73,3 +73,16 @@ def test_vidtwin_reconstruct_and_cross_cli(clip):
           "--dynamics_video_path", os.path.join(clip, "clip.mp4"),
           "--output_video_dir", outdir], clip)
     assert os.path.exists(os.path.join(outdir, "clip_cross.mp4"))
+
+
+def test_vidtwin_evaluate_cli(clip):
+    from tests.test_vidtwin import small_cfg
+
+    cfg_path = os.path.join(clip, "tiny_vidtwin.yaml")
+    if not os.path.exists(cfg_path):
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump({"model": {"target": "VidTwinVAE",
+                                      **small_cfg()}}, f)
+    out = _run([os.path.join(ROOT, "scripts", "vidtwin_evaluate.py"),
+                "--config", cfg_path, "--data_dir", clip], clip)
+    assert "mean PSNR" in out and "mean SSIM" in out
