@@ -123,7 +123,7 @@ def stage_torch(out):
           f"(psnr_ref={split_psnr(arrays['x'], arrays['recon']):.3f} dB)")
 
 
-def stage_jax(src):
+def stage_jax(src, which="both"):
     import jax
     import jax.numpy as jnp
 
@@ -154,26 +154,32 @@ def stage_jax(src):
     ref = data["recon"]
     results = {"psnr_ref": split_psnr(x, ref)}
 
-    # (a) f32 parity path (no fused kernels). jax.jit like bench.py —
-    # op-by-op dispatch compiles each pallas_call standalone through a
-    # stricter AOT path that rejects graphs the jitted serving graph
-    # compiles fine.
-    tok32 = VideoTokenizer(core, params, meta)
-    fn32 = jax.jit(tok32._full_forward_fn(sample=False, fused=False))
-    _, dec32, _ = fn32(tok32.params, jnp.asarray(x), jax.random.PRNGKey(0))
-    dec32 = np.asarray(dec32, dtype=np.float32)
+    outs = []
+    if which in ("both", "f32"):
+        # (a) f32 parity path (no fused kernels). jax.jit like bench.py —
+        # op-by-op dispatch compiles each pallas_call standalone through a
+        # stricter AOT path that rejects graphs the jitted serving graph
+        # compiles fine. (Run this substage on CPU when the relay's f32
+        # compile stalls: numerics are platform-independent here.)
+        tok32 = VideoTokenizer(core, params, meta)
+        fn32 = jax.jit(tok32._full_forward_fn(sample=False, fused=False))
+        _, dec32, _ = fn32(tok32.params, jnp.asarray(x),
+                           jax.random.PRNGKey(0))
+        outs.append(("f32", np.asarray(dec32, dtype=np.float32)))
 
-    # (b) the serving path: bf16 params/compute + fused Pallas kernels —
-    # exactly the bench.py graph
-    tok16 = VideoTokenizer(core, params, meta, compute_dtype=jnp.bfloat16)
-    p16 = jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
-        tok16.params)
-    fn16 = jax.jit(tok16._full_forward_fn(sample=False, fused=True))
-    _, dec16, _ = fn16(p16, jnp.asarray(x), jax.random.PRNGKey(0))
-    dec16 = np.asarray(dec16.astype(jnp.float32))
+    if which in ("both", "serving"):
+        # (b) the serving path: bf16 params/compute + fused Pallas
+        # kernels — exactly the bench.py graph
+        tok16 = VideoTokenizer(core, params, meta,
+                               compute_dtype=jnp.bfloat16)
+        p16 = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32
+            else p, tok16.params)
+        fn16 = jax.jit(tok16._full_forward_fn(sample=False, fused=True))
+        _, dec16, _ = fn16(p16, jnp.asarray(x), jax.random.PRNGKey(0))
+        outs.append(("serving", np.asarray(dec16.astype(jnp.float32))))
 
-    for tag, out in (("f32", dec32), ("serving", dec16)):
+    for tag, out in outs:
         results[f"psnr_{tag}"] = split_psnr(x, out)
         results[f"delta_{tag}"] = results[f"psnr_{tag}"] - results["psnr_ref"]
         results[f"agree_{tag}"] = split_psnr(ref, out)
@@ -185,11 +191,12 @@ def stage_jax(src):
 
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "jax"
-    path = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_NPZ
+    which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    path = sys.argv[3] if len(sys.argv) > 3 else DEFAULT_NPZ
     if stage == "torch":
         stage_torch(path)
     elif stage == "jax":
-        stage_jax(path)
+        stage_jax(path, which)
     else:
         raise SystemExit(f"unknown stage {stage}")
 
