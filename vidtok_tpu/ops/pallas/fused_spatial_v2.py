@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vidtok_tpu.ops.pallas import tuning
+
 
 def _ln_silu(xa, g, b, eps):
     dt = xa.dtype
@@ -139,8 +141,10 @@ def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
     # (halo rows are recomputed, so bigger tiles waste fewer FLOPs);
     # 8 keeps wider blocks inside the 16 MB VMEM scoped limit (128ch x
     # W=256 at r=16 measured 17.5 MB -> OOM, hence the 16384 cutoff).
-    r = row_tile or _TILE_OVERRIDE or (16 if max(cin, c) * w <= 16384
-                                       else 8)
+    # VIDTOK_VMEM_LIMIT_MB raises Mosaic's limit (tuning.py); the r=16
+    # working-set cutoff scales with it.
+    r = row_tile or _TILE_OVERRIDE or (
+        16 if max(cin, c) * w <= 16384 * tuning.budget_scale() else 8)
     if r % 2 or h % r or h < r + 2:
         return None
     if not interpret and (w % 16 or cin % 128 or c % 128):
@@ -152,7 +156,8 @@ def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
     # and bail when even r=4 leaves an oversized weight+halo set.
     if not interpret and jnp.dtype(x.dtype).itemsize > 2:
         r = max(4, r // 2)
-        if h % r or (cin + c) * (w + 2) * (r + 2) * 4 > (12 << 20):
+        if h % r or ((cin + c) * (w + 2) * (r + 2) * 4
+                     > (12 << 20) * tuning.budget_scale()):
             return None
     has_nin = "nin_shortcut" in params
     dt = x.dtype
@@ -197,6 +202,7 @@ def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
         ],
         out_specs=pl.BlockSpec((1, r, w, c), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=tuning.mosaic_params(),
         interpret=interpret,
     )(x, x, x, g1, b1, k1d, c1b, g2, b2, k2d, c2b, nk, nb)
     return out

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vidtok_tpu.ops.pallas import tuning
+
 
 def _ln_silu(x, scale, bias, eps=1e-6):
     xf = x.astype(jnp.float32)
@@ -101,7 +103,9 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
         # 688,128 (84x64x128 and 21x64x512, the T=81 serving graph)
         # passes. Shrink by powers of two to stay inside the proven
         # ceiling. T=17 flagship blocks (<= 655,360) are unaffected.
-        budget = 84 * 64 * 128
+        # VIDTOK_VMEM_LIMIT_MB raises Mosaic's limit via compiler_params
+        # (tuning.py); the proven budget scales with it.
+        budget = 84 * 64 * 128 * tuning.budget_scale()
         while tile_s > 8 and t * tile_s * c > budget:
             tile_s //= 2
         if t * tile_s * c > budget:
@@ -132,6 +136,7 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
         ] + [vspec] * 8,
         out_specs=pl.BlockSpec((1, t, tile_s, c), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=tuning.mosaic_params(),
         interpret=interpret,
     )(
         xf,

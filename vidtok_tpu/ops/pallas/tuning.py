@@ -1,0 +1,42 @@
+"""Shared Mosaic compiler tuning for the Pallas kernels.
+
+Mosaic's scoped-VMEM compile limit defaults to 16 MiB, far below the
+v5e's 128 MiB physical VMEM; it is what rejected the r=16 spatial tiles
+(17.5 MB working set) and forced the long-T temporal tile shrink
+(BENCH_NOTES round 2/3). The client-side ``XLA_FLAGS=
+--xla_tpu_scoped_vmem_limit_kib`` route dies at startup through the axon
+relay (the local XLA build does not know the TPU flag), but pallas_call's
+``compiler_params=pltpu.CompilerParams(vmem_limit_bytes=...)`` travels
+*inside* the kernel payload to the server-side Mosaic compile — so the
+limit can be raised per kernel.
+
+``VIDTOK_VMEM_LIMIT_MB`` (env, default 0 = Mosaic default) sets the
+limit for every fused kernel and proportionally scales the
+hardware-probed block budgets that were calibrated against the 16 MiB
+default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_MB = int(os.environ.get("VIDTOK_VMEM_LIMIT_MB", "0"))
+
+
+def vmem_limit_mb() -> int:
+    """The configured Mosaic scoped-VMEM limit in MiB (0 = default 16)."""
+    return _VMEM_MB
+
+
+def budget_scale() -> int:
+    """Factor by which 16 MiB-calibrated block budgets may grow."""
+    return max(1, _VMEM_MB // 16)
+
+
+def mosaic_params():
+    """compiler_params for pallas_call (None = Mosaic defaults)."""
+    if _VMEM_MB:
+        return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_MB << 20)
+    return None
