@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vidtok_tpu.ops.pallas import tuning
+
 _PAD_CO = 8  # output channels padded to one sublane-friendly group
 
 
@@ -149,6 +151,7 @@ def decoder_tail_rgb(x, norm_params, conv_params, first_pad_mode,
                                lambda i, j, k: (i, k, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((3, r + 2, w + 2, c), dt)],
+        compiler_params=tuning.mosaic_params(),
         interpret=interpret,
     )(x, x, x, g, bb, km8, bias8)
     return out[..., :co]

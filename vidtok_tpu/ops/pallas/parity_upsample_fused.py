@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vidtok_tpu.ops.pallas import tuning
+
 
 def _kernel(sm_ref, st_ref, sb_ref, sc_ref, kb_ref, bias_ref, alpha_ref,
             out_ref, ring_ref, *, r, cc, replicate):
@@ -164,6 +166,7 @@ def parity_up2x_fused(s, k, bias, alpha, first_pad_mode,
                                lambda i, gg, j, kk: (i, kk, j, 0, gg),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, 2, r, w, cc), dt)],
+        compiler_params=tuning.mosaic_params(),
         interpret=interpret,
     )(s, s, s, s, kb, bias_g, alpha_arr)
     return out

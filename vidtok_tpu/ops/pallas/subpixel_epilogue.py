@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vidtok_tpu.ops.pallas import tuning
+
 
 def _kernel(y00_ref, y01_ref, y10_ref, y11_ref, bias_ref, out_ref):
     y00 = y00_ref[0]
@@ -61,6 +63,7 @@ def subpixel_interleave(y00, y01, y10, y11, bias, *, row_tile: int = 4,
         out_specs=pl.BlockSpec((1, r, 2, 2 * w, c),
                                lambda i, j: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=tuning.mosaic_params(),
         interpret=interpret,
     )(y00, y01, y10, y11, bias.astype(y00.dtype))
     return out5.reshape(n, 2 * h, 2 * w, c)   # free: merges (H, 2) rows

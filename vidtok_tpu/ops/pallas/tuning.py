@@ -11,18 +11,44 @@ relay (the local XLA build does not know the TPU flag), but pallas_call's
 limit can be raised per kernel.
 
 ``VIDTOK_VMEM_LIMIT_MB`` (env, default 0 = Mosaic default) sets the
-limit for every fused kernel and proportionally scales the
-hardware-probed block budgets that were calibrated against the 16 MiB
-default.
+limit for every fused-kernel ``pallas_call`` in ops/pallas (all of them
+route ``mosaic_params()`` into ``compiler_params``) and proportionally
+scales the hardware-probed block budgets that were calibrated against
+the 16 MiB default. Only *raising* the limit is supported: values below
+16 are ignored (budget gates are 16 MiB-calibrated, so a lower server
+limit would admit shapes that then fail server-side compile — a relay
+HTTP 500 kills the whole program compile). The linear budget scaling is
+probe-gated: run tools/probe_vmem_limit.py on hardware before enabling
+in serving (Mosaic's accounting runs ~1.4x above naive estimates and
+linearity is only trusted where the probe passed).
 """
 
 from __future__ import annotations
 
 import os
+import warnings
 
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_MB = int(os.environ.get("VIDTOK_VMEM_LIMIT_MB", "0"))
+
+def _parse_limit_mb() -> int:
+    raw = os.environ.get("VIDTOK_VMEM_LIMIT_MB", "0") or "0"
+    try:
+        val = int(raw)
+    except ValueError:
+        warnings.warn(
+            f"VIDTOK_VMEM_LIMIT_MB={raw!r} is not an integer (MiB); "
+            "ignoring (using Mosaic's default 16 MiB limit)")
+        return 0
+    if 0 < val < 16:
+        warnings.warn(
+            f"VIDTOK_VMEM_LIMIT_MB={val} is below Mosaic's 16 MiB "
+            "default; only raising is supported — ignoring")
+        return 0
+    return max(0, val)
+
+
+_VMEM_MB = _parse_limit_mb()
 
 
 def vmem_limit_mb() -> int:

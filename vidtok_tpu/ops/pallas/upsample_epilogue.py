@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vidtok_tpu.ops.pallas import tuning
+
 
 def _kernel(s_ref, yc_ref, yp_ref, bias2_ref, alpha_ref, out_ref, *,
             c, replicate):
@@ -85,6 +87,7 @@ def parity_blend_interleave(s, y_cur, y_prev, bias, alpha,
         out_specs=pl.BlockSpec((1, 2, tile_s, c),
                                lambda i, j, k: (i, j, k, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=tuning.mosaic_params(),
         interpret=interpret,
     )(sf, ycf, ypf, bias2, alpha_arr)
     return out.reshape(b, 2 * t, h, w, c)
@@ -134,6 +137,7 @@ def parity_blend_interleave4(s, y4, bias, alpha, first_pad_mode: str = "zero",
         out_specs=pl.BlockSpec((1, 2, tile_s, c),
                                lambda i, j, k: (i, j, k, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=tuning.mosaic_params(),
         interpret=interpret,
     )(sf, y4f, y4f, bias2, alpha_arr)
     return out.reshape(b, 2 * t, h, w, c)
