@@ -51,7 +51,7 @@ def _ln_silu(xa, g, b, eps):
 
 
 def _kernel(xm_ref, xt_ref, xb_ref, g_ref, b_ref, km_ref, bias_ref,
-            out_ref, ring_ref, *, eps, replicate, r):
+            out_ref, ring_ref, *, eps, replicate, r, pre_shift=True):
     j = pl.program_id(1)
     t = pl.program_id(2)
     nj = pl.num_programs(1)
@@ -74,19 +74,29 @@ def _kernel(xm_ref, xt_ref, xb_ref, g_ref, b_ref, km_ref, bias_ref,
     akill = jnp.logical_or(jnp.logical_and(j == 0, aidx == 0),
                            jnp.logical_and(j == nj - 1, aidx == ra - 1))
     h = jnp.where(akill, jnp.zeros_like(h), h)
-    hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))           # [R+2, W+2, C]
-    ring_ref[t % 3] = hp
-
     w = xm.shape[1]
     c = xm.shape[2]
+    if pre_shift:
+        # store the three W-shift variants so every tap matmul reads an
+        # aligned leading-dim slice (see fused_spatial_v2._conv3x3)
+        z = jnp.zeros((h.shape[0], 1, c), h.dtype)
+        ring_ref[t % 3, 0] = jnp.concatenate([z, h[:, :w - 1]], axis=1)
+        ring_ref[t % 3, 1] = h
+        ring_ref[t % 3, 2] = jnp.concatenate([h[:, 1:], z], axis=1)
+    else:
+        ring_ref[t % 3, 0] = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))
+
     acc = jnp.zeros((r * w, _PAD_CO), jnp.float32)
     for tap in range(3):
         src = t - 2 + tap
-        hd = ring_ref[jnp.maximum(src, 0) % 3]          # [R+2, W+2, C]
+        hd = ring_ref[jnp.maximum(src, 0) % 3]
         part = jnp.zeros((r * w, _PAD_CO), jnp.float32)
         for dr in range(3):
             for dw in range(3):
-                xs = hd[dr:dr + r, dw:dw + w, :].reshape(r * w, c)
+                if pre_shift:
+                    xs = hd[dw, dr:dr + r].reshape(r * w, c)
+                else:
+                    xs = hd[0, dr:dr + r, dw:dw + w, :].reshape(r * w, c)
                 part += jax.lax.dot_general(
                     xs, km_ref[tap, dr, dw], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -100,7 +110,7 @@ def _kernel(xm_ref, xt_ref, xb_ref, g_ref, b_ref, km_ref, bias_ref,
 
 def decoder_tail_rgb(x, norm_params, conv_params, first_pad_mode,
                      *, eps: float = 1e-6, row_tile: int = 8,
-                     interpret=None):
+                     interpret=None, pre_shift: bool = True):
     """x: [B, T, H, W, C] -> [B, T, H, W, Cout] or None (unfit shapes).
 
     ``norm_params``: ChannelLayerNorm {scale, bias}; ``conv_params``:
@@ -129,7 +139,8 @@ def decoder_tail_rgb(x, norm_params, conv_params, first_pad_mode,
     vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, eps=eps,
-                          replicate=(first_pad_mode == "replicate"), r=r),
+                          replicate=(first_pad_mode == "replicate"), r=r,
+                          pre_shift=pre_shift),
         out_shape=jax.ShapeDtypeStruct((b, t, h, w, _PAD_CO), dt),
         grid=(b, h // r, t),
         in_specs=[
@@ -150,7 +161,8 @@ def decoder_tail_rgb(x, norm_params, conv_params, first_pad_mode,
         out_specs=pl.BlockSpec((1, 1, r, w, _PAD_CO),
                                lambda i, j, k: (i, k, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((3, r + 2, w + 2, c), dt)],
+        scratch_shapes=[pltpu.VMEM((3, 3, r + 2, w, c) if pre_shift
+                                   else (3, 1, r + 2, w + 2, c), dt)],
         compiler_params=tuning.mosaic_params(),
         interpret=interpret,
     )(x, x, x, g, bb, km8, bias8)

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vidtok_tpu.ops.pallas import tuning
+from vidtok_tpu.ops.pallas import act, tuning
 
 
 def _ln_silu(xa, g, b, eps):
@@ -53,27 +53,47 @@ def _ln_silu(xa, g, b, eps):
     return (yf * jax.lax.logistic(yf)).astype(dt)
 
 
-def _conv3x3(h, k, bias):
+def _conv3x3(h, k, bias, pre_shift=True):
     """h: [rows, W, Ci] -> [rows-2, W, Co]; k: [3,3,Ci,Co] (h's dtype),
-    SAME W-padding, VALID rows (halo rows consumed)."""
+    SAME W-padding, VALID rows (halo rows consumed).
+
+    ``pre_shift=True`` materializes the two W-shifted copies of h ONCE and
+    feeds every tap matmul an aligned leading-dim slice; the padded-slice
+    form (False) hands Mosaic 6 sublane-offset operands per conv (dw=1,2
+    slices of the W+2 pad), each a vreg relayout — profiled at 46-60% MXU
+    on the flagship spatial stages, which this variant targets.
+    """
     rows, w, ci = h.shape
     co = k.shape[-1]
     out_rows = rows - 2
-    hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))
     acc = jnp.zeros((out_rows * w, co), jnp.float32)
-    for dr in range(3):
-        for dw in range(3):
-            xs = hp[dr:dr + out_rows, dw:dw + w, :].reshape(out_rows * w, ci)
-            acc += jax.lax.dot_general(
-                xs, k[dr, dw], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    if pre_shift:
+        z = jnp.zeros((rows, 1, ci), h.dtype)
+        srcs = (jnp.concatenate([z, h[:, :w - 1]], axis=1), h,
+                jnp.concatenate([h[:, 1:], z], axis=1))
+        for dr in range(3):
+            for dw in range(3):
+                xs = srcs[dw][dr:dr + out_rows].reshape(out_rows * w, ci)
+                acc += jax.lax.dot_general(
+                    xs, k[dr, dw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+    else:
+        hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))
+        for dr in range(3):
+            for dw in range(3):
+                xs = hp[dr:dr + out_rows, dw:dw + w, :].reshape(
+                    out_rows * w, ci)
+                acc += jax.lax.dot_general(
+                    xs, k[dr, dw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
     return (acc.reshape(out_rows, w, co).astype(h.dtype)
             + bias.astype(h.dtype))
 
 
 def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
             g2_ref, b2_ref, k2_ref, c2b_ref, nk_ref, nb_ref, out_ref, *,
-            eps, has_nin):
+            eps, has_nin, pre_shift=True, silu_fast=False):
+    ln = act.ln_silu_fast if silu_fast else _ln_silu
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     xm = xm_ref[0]                     # [R, W, Cin]
@@ -85,7 +105,7 @@ def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
     bot = jnp.where(j == nj - 1, jnp.zeros_like(bot), bot)
     xa = jnp.concatenate([top, xm, bot], axis=0)   # [R+4, W, Cin]
 
-    h1 = _ln_silu(xa, g1_ref[:], b1_ref[:], eps)
+    h1 = ln(xa, g1_ref[:], b1_ref[:], eps)
     # conv1's SAME padding is zeros AFTER norm+silu — at frame edges the
     # halo rows were zero INPUT, and ln_silu(0) = silu(bias) != 0 when the
     # norm bias is nonzero; kill the activated phantom rows.
@@ -94,8 +114,8 @@ def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
     akill = jnp.logical_or(jnp.logical_and(j == 0, aidx < 2),
                            jnp.logical_and(j == nj - 1, aidx >= ra - 2))
     h1 = jnp.where(akill, jnp.zeros_like(h1), h1)
-    c1 = _conv3x3(h1, k1_ref[:], c1b_ref[:])       # [R+2, W, C]
-    h2 = _ln_silu(c1, g2_ref[:], b2_ref[:], eps)
+    c1 = _conv3x3(h1, k1_ref[:], c1b_ref[:], pre_shift)  # [R+2, W, C]
+    h2 = ln(c1, g2_ref[:], b2_ref[:], eps)
     # conv2's SAME padding must tap ZERO beyond the frame — at frame
     # edges h2's halo row is a phantom (conv1-of-zeros + bias, normed),
     # not conv2's zero pad; kill it.
@@ -104,7 +124,7 @@ def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
     kill = jnp.logical_or(jnp.logical_and(j == 0, ridx == 0),
                           jnp.logical_and(j == nj - 1, ridx == rr - 1))
     h2 = jnp.where(kill, jnp.zeros_like(h2), h2)
-    c2 = _conv3x3(h2, k2_ref[:], c2b_ref[:])       # [R, W, C]
+    c2 = _conv3x3(h2, k2_ref[:], c2b_ref[:], pre_shift)  # [R, W, C]
 
     if has_nin:
         r, w, ci = xm.shape
@@ -125,7 +145,9 @@ _TILE_OVERRIDE = int(_os.environ.get("VIDTOK_SPATIAL_TILE", "0"))
 
 
 def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
-                              row_tile: int = 0, interpret=None):
+                              row_tile: int = 0, interpret=None,
+                              pre_shift: bool = True,
+                              silu_fast: bool = None):
     """x: [N, H, W, Cin] (batch*frames folded) -> [N, H, W, C] or None.
 
     ``params``: the flax param tree of ResnetBlockSpatial (norm1/conv1/
@@ -180,7 +202,9 @@ def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
     vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
     hb = h // 2  # row dim as 2-row blocks for the halo operands
     out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps, has_nin=has_nin),
+        functools.partial(_kernel, eps=eps, has_nin=has_nin,
+                          pre_shift=pre_shift,
+                          silu_fast=act.resolve(silu_fast)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), dt),
         grid=(n, h // r),
         in_specs=[

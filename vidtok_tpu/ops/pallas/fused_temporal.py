@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vidtok_tpu.ops.pallas import tuning
+from vidtok_tpu.ops.pallas import act, tuning
 
 
 def _ln_silu(x, scale, bias, eps=1e-6):
@@ -58,15 +58,21 @@ def _tconv3(a_pad, w, t_out, ts):
 
 
 def _kernel(x_ref, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2,
-            out_ref, *, t, tile_s, replicate):
+            out_ref, *, t, tile_s, replicate, silu_fast):
     x = x_ref[0]  # [T, tile_s, C]
     dtype = x.dtype
 
-    a1 = _ln_silu(x, ln1_s[:], ln1_b[:]).astype(dtype)
+    if silu_fast:
+        a1 = act.ln_silu_fast(x, ln1_s[:], ln1_b[:], 1e-6)
+    else:
+        a1 = _ln_silu(x, ln1_s[:], ln1_b[:]).astype(dtype)
     a1p = _pad_front(a1, 2, replicate)
     h = _tconv3(a1p, w1[:], t, tile_s) + b1[:]
 
-    a2 = _ln_silu(h, ln2_s[:], ln2_b[:]).astype(dtype)
+    if silu_fast:
+        a2 = act.ln_silu_fast(h.astype(dtype), ln2_s[:], ln2_b[:], 1e-6)
+    else:
+        a2 = _ln_silu(h, ln2_s[:], ln2_b[:]).astype(dtype)
     a2p = _pad_front(a2, 2, replicate)
     y = _tconv3(a2p, w2[:], t, tile_s) + b2[:]
 
@@ -79,7 +85,8 @@ _TILE_S = int(_os.environ.get("VIDTOK_FUSE_TEMPORAL_TILE", "128"))
 
 
 def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
-                            tile_s: int = None, interpret: bool = None):
+                            tile_s: int = None, interpret: bool = None,
+                            silu_fast: bool = None):
     """x: [B, T, H, W, C] -> same. Equal in/out channels (every temporal
     resblock in the architecture); layernorm only.
 
@@ -124,7 +131,8 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
     k2 = params["conv2"]["kernel"].reshape(3, c, c).astype(dtype)
 
     kern = functools.partial(_kernel, t=t, tile_s=tile_s,
-                             replicate=(first_pad_mode == "replicate"))
+                             replicate=(first_pad_mode == "replicate"),
+                             silu_fast=act.resolve(silu_fast))
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,

@@ -39,7 +39,7 @@ from vidtok_tpu.ops.pallas import tuning
 
 
 def _kernel(sm_ref, st_ref, sb_ref, sc_ref, kb_ref, bias_ref, alpha_ref,
-            out_ref, ring_ref, *, r, cc, replicate):
+            out_ref, ring_ref, *, r, cc, replicate, pre_shift=True):
     j = pl.program_id(2)
     t = pl.program_id(3)
     nj = pl.num_programs(2)
@@ -51,17 +51,31 @@ def _kernel(sm_ref, st_ref, sb_ref, sc_ref, kb_ref, bias_ref, alpha_ref,
     top = jnp.where(j == 0, jnp.zeros_like(top), top)
     bot = jnp.where(j == nj - 1, jnp.zeros_like(bot), bot)
     xa = jnp.concatenate([top, sm, bot], axis=0)        # [R+2, W, C]
-    hp = jnp.pad(xa, ((0, 0), (1, 1), (0, 0)))          # [R+2, W+2, C]
 
     w = sm.shape[1]
     c = sm.shape[2]
     acc = jnp.zeros((r * w, 3 * cc), jnp.float32)
-    for dr in range(3):
-        for dw in range(3):
-            xs = hp[dr:dr + r, dw:dw + w, :].reshape(r * w, c)
-            acc += jax.lax.dot_general(
-                xs, kb_ref[0, dr, dw], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    if pre_shift:
+        # two W-shifted copies built once -> every tap operand is an
+        # aligned leading-dim slice (no sublane-offset relayouts; see
+        # fused_spatial_v2._conv3x3)
+        z = jnp.zeros((xa.shape[0], 1, c), xa.dtype)
+        srcs = (jnp.concatenate([z, xa[:, :w - 1]], axis=1), xa,
+                jnp.concatenate([xa[:, 1:], z], axis=1))
+        for dr in range(3):
+            for dw in range(3):
+                xs = srcs[dw][dr:dr + r].reshape(r * w, c)
+                acc += jax.lax.dot_general(
+                    xs, kb_ref[0, dr, dw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+    else:
+        hp = jnp.pad(xa, ((0, 0), (1, 1), (0, 0)))      # [R+2, W+2, C]
+        for dr in range(3):
+            for dw in range(3):
+                xs = hp[dr:dr + r, dw:dw + w, :].reshape(r * w, c)
+                acc += jax.lax.dot_general(
+                    xs, kb_ref[0, dr, dw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
     y0 = acc[:, :cc]
     y1 = acc[:, cc:2 * cc]
     y2 = acc[:, 2 * cc:]
@@ -93,7 +107,7 @@ def _kernel(sm_ref, st_ref, sb_ref, sc_ref, kb_ref, bias_ref, alpha_ref,
 
 def parity_up2x_fused(s, k, bias, alpha, first_pad_mode,
                       *, row_tile: int = 4, chunk_c: int = 256,
-                      interpret=None):
+                      interpret=None, pre_shift: bool = True):
     """s: [B,T,H,W,C]; k: [3,3,3,C,C] causal conv kernel; bias: [C];
     alpha: scalar blend. Returns [B,2T,H,W,C] or None (unfit shapes)."""
     if interpret is None:
@@ -135,7 +149,8 @@ def parity_up2x_fused(s, k, bias, alpha, first_pad_mode,
 
     out = pl.pallas_call(
         functools.partial(_kernel, r=r, cc=cc,
-                          replicate=(first_pad_mode == "replicate")),
+                          replicate=(first_pad_mode == "replicate"),
+                          pre_shift=pre_shift),
         out_shape=jax.ShapeDtypeStruct((b, 2 * t, h, w, c), dt),
         grid=(b, g, h // r, t),
         in_specs=[
