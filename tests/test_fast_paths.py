@@ -282,3 +282,27 @@ def test_parity_upsample_f32_wide_channel_guard():
     # interpret mode (tests) is exempt: no hardware VMEM involved
     out = parity_up2x_fused(s, k, b, 0.5, "zero", interpret=True)
     assert out is not None and out.shape == (1, 4, 8, 128, 256)
+
+
+@pytest.mark.parametrize("mode", ["replicate", "zero"])
+@pytest.mark.parametrize("stage2", ["vpu", "mm"])
+def test_decoder_tail_tap_pack_parity(mode, stage2):
+    """The tap-packed tail kernel (3 N=72 matmuls + 9-group combine) must
+    match the baseline 27-matmul kernel bit-for-bit in f32 (vpu combine is
+    exact math; mm rounds the combined partial to the tile dtype, which is
+    f32 here) — randomized params per the activated-halo lesson."""
+    from vidtok_tpu.ops.pallas.decoder_tail import decoder_tail_rgb
+
+    rng = np.random.RandomState(7)
+    C = 128
+    x = jnp.asarray(rng.randn(1, 5, 32, 32, C).astype("float32") * 0.3)
+    norm = {"scale": jnp.asarray(rng.randn(C).astype("float32") * 0.2 + 1),
+            "bias": jnp.asarray(rng.randn(C).astype("float32") * 0.2)}
+    conv = {"kernel": jnp.asarray(
+                rng.randn(3, 3, 3, C, 3).astype("float32") * 0.05),
+            "bias": jnp.asarray(rng.randn(3).astype("float32") * 0.1)}
+    ref = decoder_tail_rgb(x, norm, conv, mode, interpret=True,
+                           tap_pack=False)
+    out = decoder_tail_rgb(x, norm, conv, mode, interpret=True,
+                           tap_pack=True, stage2=stage2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6)

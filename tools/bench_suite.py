@@ -165,13 +165,23 @@ def main():
                          .randn(S, 3, 33, H, W).astype(np.float32) * 0.5)
         _, _, cache = first_fn(params, xs[:, :, :1], rng)
         for tc in (16, 32):
+            if S * tc > 96:
+                print(f"multistream encode ({S} streams x {tc}f): skipped "
+                      "(S*tc > 96 frames at 256p OOMs the 16 GB HBM — "
+                      "S=8x16 measured Exceeded hbm by 440M, round 4)")
+                continue
             xck = xs[:, :, 1:1 + tc]
 
             def onem():
                 z, log, c2 = step_fn(params, cache, xck, rng)
                 return float(jnp.sum(z))
 
-            med = timeit(onem)
+            try:
+                med = timeit(onem)
+            except Exception as e:
+                print(f"multistream encode ({S} streams x {tc}f): FAILED "
+                      f"({type(e).__name__})")
+                continue
             print(f"multistream encode ({S} streams x {tc}f): "
                   f"{med*1e3:.1f} ms -> {S*tc/med:.1f} aggregate frames/s")
 
@@ -188,13 +198,18 @@ def main():
             zk = jnp.asarray(np.random.RandomState(6)
                              .randn(S, 16, nlat, H // 8, W // 8)
                              .astype(np.float32))
-            nf = dstep_fn(params, dcache, zk)[0].shape[1] - tdf
+            try:
+                nf = dstep_fn(params, dcache, zk)[0].shape[1] - tdf
 
-            def onemd():
-                d, c2 = dstep_fn(params, dcache, zk)
-                return float(jnp.sum(d[:, :nf]))
+                def onemd():
+                    d, c2 = dstep_fn(params, dcache, zk)
+                    return float(jnp.sum(d[:, :nf]))
 
-            med = timeit(onemd)
+                med = timeit(onemd)
+            except Exception as e:
+                print(f"multistream decode overlap ({S} streams x "
+                      f"{nlat - 1}+1 latents): FAILED ({type(e).__name__})")
+                continue
             print(f"multistream decode overlap ({S} streams x {nlat - 1}+1 "
                   f"latents -> {nf} usable f): {med*1e3:.1f} ms -> "
                   f"{S*nf/med:.1f} aggregate frames/s")
@@ -205,7 +220,9 @@ def main():
         # tokenization — per-chunk host dispatch is fully amortized.
         # S streams batched; 129-frame videos (reference long-video eval
         # length).
-        S = int(os.environ.get("VIDTOK_MULTISTREAM", "4"))
+        # S here is bounded by HBM: the whole S x 129-frame 256p video and
+        # its activations are device-resident in one scan program
+        S = int(os.environ.get("VIDTOK_SCANSTREAM", "2"))
         Tv = 129
         tok.params = params
         tok.use_tiling = True

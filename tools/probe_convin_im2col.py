@@ -1,0 +1,124 @@
+"""conv_in (3->128) at serving scale: decomposed-2D vs im2col variants.
+
+The T=161 encode trace (bench_artifacts/trace_encode_t161.log) puts
+conv_in at ~30 ms/call (fusion.8 15.8 + three ~4.7 ms time-tap convs):
+the 3-channel input starves the MXU K dim (K=27 per 2D tap at best).
+im2col packs all 27 taps x 3 channels into one K=81 matmul (63% K util
+after padding to 128) at the cost of materializing the patch tensor
+(~1.7 GB bf16 at T=161 full-frame).
+
+Variants, trace-profiled in ONE jitted program (relay-safe):
+  v0  decomposed: 3 time-shifted 2D convs on [N,H,W,3] (production path)
+  v1  im2col-81: 27 channel-concat'd shifted slices -> [N*H*W,81]@[81,128]
+  v2  conv_general_dilated_patches + matmul (XLA's own im2col)
+
+CPU check: python tools/probe_convin_im2col.py check
+TPU probe: tools/tpu_run.sh probe_convin 2400 -- \
+    python tools/probe_convin_im2col.py [N]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv2d(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def v0_decomposed(x, k):
+    """x: [N,H,W,3] (N = folded time incl. 2-frame causal front pad),
+    k: [3,3,3,3,128] DHWIO. Causal: out[t] = sum_dt conv2d(x[t+dt])."""
+    n = x.shape[0]
+    y = None
+    for dt in range(3):
+        yj = conv2d(x[dt:n - 2 + dt], k[dt])
+        y = yj if y is None else y + yj
+    return y
+
+
+def v1_im2col(x, k):
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = []
+    for dt in range(3):
+        for di in range(3):
+            for dj in range(3):
+                cols.append(
+                    xp[dt:n - 2 + dt, di:di + h, dj:dj + w, :])
+    patches = jnp.concatenate(cols, axis=-1)           # [N-2,H,W,81]
+    kf = k.transpose(0, 1, 2, 3, 4).reshape(81, -1)    # [81,128]
+    y = jax.lax.dot_general(
+        patches.reshape(-1, 81), kf.astype(x.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return y.reshape(n - 2, h, w, -1).astype(x.dtype)
+
+
+def v2_patches(x, k):
+    n, h, w, c = x.shape
+    # spatial patches per frame, then 3 time-shifted adds on the matmul
+    pt = jax.lax.conv_general_dilated_patches(
+        x, (3, 3), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))    # [N,H,W,27] (C-major)
+    kf = k.reshape(3, 3, 3, 3, -1)
+    y = None
+    for dt in range(3):
+        # patches channel order: (c, di, dj) per conv_general_dilated_patches
+        kd = kf[dt].transpose(2, 0, 1, 3).reshape(27, -1)  # [(c,di,dj),128]
+        yj = jax.lax.dot_general(
+            pt[dt:n - 2 + dt].reshape(-1, 27), kd.astype(x.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        y = yj if y is None else y + yj
+    return y.reshape(n - 2, h, w, -1).astype(x.dtype)
+
+
+def main():
+    check = len(sys.argv) > 1 and sys.argv[1] == "check"
+    n = 16 if check else int(sys.argv[1]) if len(sys.argv) > 1 else 166
+    h = w = 64 if check else 256
+    rng = np.random.RandomState(0)
+    dt = jnp.float32 if check else jnp.bfloat16
+    x = jnp.asarray(rng.randn(n, h, w, 3) * 0.3, dt)
+    k = jnp.asarray(rng.randn(3, 3, 3, 3, 128) * 0.1, dt)
+
+    if check:
+        a = v0_decomposed(x, k)
+        b = v1_im2col(x, k)
+        c = v2_patches(x, k)
+        print("v1 max|d|:", float(jnp.max(jnp.abs(a - b))))
+        print("v2 max|d|:", float(jnp.max(jnp.abs(a - c))))
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+        assert float(jnp.max(jnp.abs(a - c))) < 1e-4
+        print("OK")
+        return
+
+    from profile_breakdown import capture, parse
+
+    @jax.jit
+    def program(x, k):
+        acc = jnp.float32(0)
+        y = v0_decomposed(x, k)
+        acc += jnp.sum(y.astype(jnp.float32))
+        y = v1_im2col(x + acc.astype(dt) * 0, k)
+        acc += jnp.sum(y.astype(jnp.float32))
+        y = v2_patches(x + acc.astype(dt) * 0, k)
+        acc += jnp.sum(y.astype(jnp.float32))
+        return acc
+
+    print(f"backend: {jax.default_backend()} | N = {n} | order: v0, v1, v2",
+          flush=True)
+    capture(lambda: float(program(x, k)), "/tmp/vidtok_prof_ci2")
+    parse("/tmp/vidtok_prof_ci2")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,8 +16,11 @@ earlier than the exact form; for bf16 serving this moves outputs by
 O(1) ULP and is gated by the recorded end-to-end PSNR parity protocol
 (tools/parity_psnr.py; BASELINE claim <=0.05 dB).
 
-``VIDTOK_SILU_FAST=1`` flips every fused kernel's default; kernels also
-take an explicit ``silu_fast`` argument for in-program A/B probes.
+Default ON since round 4: certified end-to-end on hardware — serving
+parity delta 0.0017 dB (bench_artifacts/parity_silufast.log) and
+headline 130.5 -> 137.7 fps (bench_artifacts/bench_silufast.log).
+``VIDTOK_SILU_FAST=0`` restores the exact-f32 pointwise form; kernels
+also take an explicit ``silu_fast`` argument for in-program A/B probes.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-_DEFAULT_FAST = os.environ.get("VIDTOK_SILU_FAST", "0") == "1"
+_DEFAULT_FAST = os.environ.get("VIDTOK_SILU_FAST", "1") == "1"
 
 
 def default_fast() -> bool:

@@ -32,7 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _parse_limit_mb() -> int:
-    raw = os.environ.get("VIDTOK_VMEM_LIMIT_MB", "0") or "0"
+    # default 64 MiB since round 4: hardware-probed (probe_vmem64.log —
+    # r=16 spatial tiles and 1.18M-element temporal blocks compile) and
+    # benched end-to-end (bench_vmem64.log, +0.7 fps; the v5e has 128 MiB
+    # physical VMEM). VIDTOK_VMEM_LIMIT_MB=16 restores Mosaic's default.
+    raw = os.environ.get("VIDTOK_VMEM_LIMIT_MB", "64") or "0"
     try:
         val = int(raw)
     except ValueError:
