@@ -185,6 +185,10 @@ def main():
             print(f"multistream encode ({S} streams x {tc}f): "
                   f"{med*1e3:.1f} ms -> {S*tc/med:.1f} aggregate frames/s")
 
+        # release the encode section's device buffers (the S x 33-frame
+        # 256p input + encode caches) before compiling the decode graphs —
+        # they otherwise stay alive and OOM the decode compile
+        del xs, xck, cache
         tok.use_overlap = True
         dfirst_fn, dstep_fn = tok._stream_decode_fns(True)
         z0 = jnp.asarray(np.random.RandomState(5)
@@ -208,7 +212,8 @@ def main():
                 med = timeit(onemd)
             except Exception as e:
                 print(f"multistream decode overlap ({S} streams x "
-                      f"{nlat - 1}+1 latents): FAILED ({type(e).__name__})")
+                      f"{nlat - 1}+1 latents): FAILED ({type(e).__name__}: "
+                      f"{str(e)[:160]})")
                 continue
             print(f"multistream decode overlap ({S} streams x {nlat - 1}+1 "
                   f"latents -> {nf} usable f): {med*1e3:.1f} ms -> "

@@ -81,6 +81,49 @@ def v2_patches(x, k):
     return y.reshape(n - 2, h, w, -1).astype(x.dtype)
 
 
+def v3_s2d(x, k):
+    """space-to-depth: 3x3 conv at 256p Cin=3 == 2x2 conv at 128p Cin=12
+    with (phase,co) output channels + depth-to-space. Lifts the conv's
+    starved K dim 27 -> 48 without materializing HBM patches."""
+    n, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    co = k.shape[-1]
+    # s2d: [N,H,W,3] -> [N,H/2,W/2,12] with channel order (ph_i, ph_j, c)
+    xs = x.reshape(n, h2, 2, w2, 2, c).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(n, h2, w2, 12)
+    # kernel: out pixel (2i+pi, 2j+pj) taps input (2i+pi+di-1, 2j+pj+dj-1);
+    # the 4 output pixels of a cell tap pixels [2i-1 .. 2i+2] — spanning
+    # THREE s2d cells — so the 3x3 pixel conv becomes a VALID 3x3 CELL
+    # conv over a (1,1)-cell-padded input: padded-pixel offset within the
+    # window a = (pi+di-1) + 2 in [1..4], (cell, phase) = divmod(a, 2);
+    # input channels (qi, qj, c), output channels (pi, pj, co).
+    import numpy as np
+    k_np = np.asarray(k.astype(jnp.float32))          # [3,3,3,3,co]
+    k2 = np.zeros((3, 3, 3, 12, 4 * co), np.float32)
+    for kt in range(3):
+        for pi in range(2):
+            for pj in range(2):
+                for di in range(3):
+                    for dj in range(3):
+                        ci_, qi = divmod(pi + di + 1, 2)
+                        cj_, qj = divmod(pj + dj + 1, 2)
+                        k2[kt, ci_, cj_, (qi * 2 + qj) * 3:(qi * 2 + qj) * 3 + 3,
+                           (pi * 2 + pj) * co:(pi * 2 + pj) * co + co] += \
+                            k_np[kt, di, dj]
+    k2j = jnp.asarray(k2, x.dtype)
+    xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = None
+    for kt in range(3):
+        yj = jax.lax.conv_general_dilated(
+            xp[kt:n - 2 + kt], k2j[kt], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = yj if y is None else y + yj
+    # y: [N-2, h2, w2, (pi,pj,co)] -> depth-to-space
+    y = y.reshape(n - 2, h2, w2, 2, 2, co).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(n - 2, h, w, co)
+    return y.astype(x.dtype)
+
+
 def main():
     check = len(sys.argv) > 1 and sys.argv[1] == "check"
     n = 16 if check else int(sys.argv[1]) if len(sys.argv) > 1 else 166
@@ -92,12 +135,11 @@ def main():
 
     if check:
         a = v0_decomposed(x, k)
-        b = v1_im2col(x, k)
-        c = v2_patches(x, k)
-        print("v1 max|d|:", float(jnp.max(jnp.abs(a - b))))
-        print("v2 max|d|:", float(jnp.max(jnp.abs(a - c))))
-        assert float(jnp.max(jnp.abs(a - b))) < 1e-4
-        assert float(jnp.max(jnp.abs(a - c))) < 1e-4
+        for name, fn in (("v1", v1_im2col), ("v2", v2_patches),
+                         ("v3", v3_s2d)):
+            d = float(jnp.max(jnp.abs(a - fn(x, k))))
+            print(f"{name} max|d|:", d)
+            assert d < 1e-4, name
         print("OK")
         return
 
@@ -112,10 +154,12 @@ def main():
         acc += jnp.sum(y.astype(jnp.float32))
         y = v2_patches(x + acc.astype(dt) * 0, k)
         acc += jnp.sum(y.astype(jnp.float32))
+        y = v3_s2d(x + acc.astype(dt) * 0, k)
+        acc += jnp.sum(y.astype(jnp.float32))
         return acc
 
-    print(f"backend: {jax.default_backend()} | N = {n} | order: v0, v1, v2",
-          flush=True)
+    print(f"backend: {jax.default_backend()} | N = {n} | "
+          "order: v0, v1, v2, v3_s2d", flush=True)
     capture(lambda: float(program(x, k)), "/tmp/vidtok_prof_ci2")
     parse("/tmp/vidtok_prof_ci2")
 

@@ -30,15 +30,63 @@ import os
 import jax
 import jax.numpy as jnp
 
-_DEFAULT_FAST = os.environ.get("VIDTOK_SILU_FAST", "1") == "1"
+def _parse(raw):
+    if raw == "mxu":
+        return "mxu"
+    return raw == "1"
 
 
-def default_fast() -> bool:
+_DEFAULT_FAST = _parse(os.environ.get("VIDTOK_SILU_FAST", "1"))
+
+
+def default_fast():
     return _DEFAULT_FAST
 
 
-def resolve(silu_fast) -> bool:
-    return _DEFAULT_FAST if silu_fast is None else bool(silu_fast)
+def resolve(silu_fast):
+    """None -> env default; otherwise False / True / 'mxu' verbatim."""
+    return _DEFAULT_FAST if silu_fast is None else silu_fast
+
+
+def ln_silu_mxu(x, g, b, eps):
+    """LayerNorm + SiLU with MXU-computed channel statistics.
+
+    The VPU forms (``_ln_silu``/``ln_silu_fast``) reduce mean/E[x^2] over
+    the 128-lane channel dim with a log-tree of lane rotations and then
+    broadcast the scalars back across lanes — ~2x7 full-tensor VPU passes
+    per norm. Here both stats come from ONE matmul each against a splat
+    ones [C, C] matrix: the MXU returns the channel SUM replicated across
+    all N=C lanes (pre-broadcast), costing ~1 conv-tap-equivalent per
+    stat. x^2 is formed in the tile dtype before its matmul (bf16
+    squares; the 128-term f32 accumulation averages the rounding out) —
+    like ln_silu_fast this is an O(1)-ULP-of-bf16 contract change, gated
+    by the end-to-end serving-parity protocol (tools/parity_psnr.py).
+    """
+    dt = x.dtype
+    c = x.shape[-1]
+    m2 = x.reshape(-1, c)
+    ones = jnp.ones((c, c), dt)
+    inv = 1.0 / c
+    mu = (jax.lax.dot_general(m2, ones, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+          * inv).reshape(x.shape)
+    e2 = (jax.lax.dot_general(m2 * m2, ones, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+          * inv).reshape(x.shape)
+    rs = jax.lax.rsqrt(jnp.maximum(e2 - mu * mu, 0.0) + eps)
+    y = (x - mu.astype(dt)) * rs.astype(dt) * g.astype(dt) + b.astype(dt)
+    sig = jnp.tanh(y * jnp.asarray(0.5, dt)) * jnp.asarray(0.5, dt) \
+        + jnp.asarray(0.5, dt)
+    return y * sig
+
+
+def impl(silu_fast_resolved, exact_fn):
+    """Map a resolved ``silu_fast`` value (False/True/'mxu') to the
+    ln_silu implementation a kernel should use; ``exact_fn`` is the
+    kernel's own exact-f32 form (used when False)."""
+    if silu_fast_resolved == "mxu":
+        return ln_silu_mxu
+    return ln_silu_fast if silu_fast_resolved else exact_fn
 
 
 def ln_silu_fast(x, g, b, eps):

@@ -79,7 +79,7 @@ def _kernel_tap_pack(xm_ref, xt_ref, xb_ref, g_ref, b_ref, kp_ref, bias_ref,
     top = jnp.where(j == 0, jnp.zeros_like(top), top)
     bot = jnp.where(j == nj - 1, jnp.zeros_like(bot), bot)
     xa = jnp.concatenate([top, xm, bot], axis=0)        # [R+2, W, C]
-    ln = act.ln_silu_fast if silu_fast else _ln_silu
+    ln = act.impl(silu_fast, _ln_silu)
     h = ln(xa, g_ref[:], b_ref[:], eps)
     ra = h.shape[0]
     aidx = jax.lax.broadcasted_iota(jnp.int32, (ra, 1, 1), 0)
@@ -217,7 +217,12 @@ def _kernel(xm_ref, xt_ref, xb_ref, g_ref, b_ref, km_ref, bias_ref,
 
 import os as _os
 
-_TAP_PACK = _os.environ.get("VIDTOK_TAIL_TAP_PACK", "0")
+# default ON since round 4: hardware probe (bench_artifacts/
+# probe_tail_pack3.log) measured 9.12 -> 3.25 ms per 20 slots (2.8x) for
+# the vpu-combine variant at the flagship tail shape; VIDTOK_TAIL_TAP_PACK
+# = '0' restores the 27-matmul kernel, 'mm' selects the matmul combine
+# (probed slower: 4.89 ms).
+_TAP_PACK = _os.environ.get("VIDTOK_TAIL_TAP_PACK", "1")
 
 
 def decoder_tail_rgb(x, norm_params, conv_params, first_pad_mode,

@@ -93,7 +93,7 @@ def _conv3x3(h, k, bias, pre_shift=True):
 def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
             g2_ref, b2_ref, k2_ref, c2b_ref, nk_ref, nb_ref, out_ref, *,
             eps, has_nin, pre_shift=True, silu_fast=False):
-    ln = act.ln_silu_fast if silu_fast else _ln_silu
+    ln = act.impl(silu_fast, _ln_silu)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     xm = xm_ref[0]                     # [R, W, Cin]

@@ -63,14 +63,15 @@ def _kernel(x_ref, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2,
     dtype = x.dtype
 
     if silu_fast:
-        a1 = act.ln_silu_fast(x, ln1_s[:], ln1_b[:], 1e-6)
+        ln = act.impl(silu_fast, None)
+        a1 = ln(x, ln1_s[:], ln1_b[:], 1e-6)
     else:
         a1 = _ln_silu(x, ln1_s[:], ln1_b[:]).astype(dtype)
     a1p = _pad_front(a1, 2, replicate)
     h = _tconv3(a1p, w1[:], t, tile_s) + b1[:]
 
     if silu_fast:
-        a2 = act.ln_silu_fast(h.astype(dtype), ln2_s[:], ln2_b[:], 1e-6)
+        a2 = ln(h.astype(dtype), ln2_s[:], ln2_b[:], 1e-6)
     else:
         a2 = _ln_silu(h, ln2_s[:], ln2_b[:]).astype(dtype)
     a2p = _pad_front(a2, 2, replicate)
