@@ -39,7 +39,9 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
 BASELINE_FPS = 150.0  # 5x realtime @ 30fps
-BATCH, T_CLIP = 1, 161
+# T override for protocol probes (the causal 3-pad waste falls as 3/(T+3):
+# 1.8% at T=161, 1.2% at T=241; HBM is the T ceiling)
+BATCH, T_CLIP = 1, int(os.environ.get("VIDTOK_BENCH_T", "161"))
 FALLBACK_BATCH, FALLBACK_T = 4, 17
 DEPTH = 2
 

@@ -198,7 +198,15 @@ def main():
         # 4+1 latents (the reference chunk_size-16 default) and 8+1 (a
         # bigger serving chunk: overlap lookahead waste 20% -> 11%); the
         # step fn is shape-polymorphic so this is purely a serving knob.
-        for nlat in (5, 9):
+        nlats = tuple(int(v) for v in os.environ.get(
+            "VIDTOK_DEC_NLATS", "5,9").split(","))
+        for nlat in nlats:
+            if S * nlat * 4 > 160:  # decoded slots; S=4 x 5lat x 4 = 80
+                # frames OOM'd HBM by 78M with the encode graphs resident
+                print(f"multistream decode overlap ({S} streams x "
+                      f"{nlat - 1}+1 latents): skipped (S*nlat*tdf > 160 "
+                      "decoded 256p slots OOMs the 16 GB HBM)")
+                continue
             zk = jnp.asarray(np.random.RandomState(6)
                              .randn(S, 16, nlat, H // 8, W // 8)
                              .astype(np.float32))
@@ -211,9 +219,10 @@ def main():
 
                 med = timeit(onemd)
             except Exception as e:
+                import traceback
+                traceback.print_exc()
                 print(f"multistream decode overlap ({S} streams x "
-                      f"{nlat - 1}+1 latents): FAILED ({type(e).__name__}: "
-                      f"{str(e)[:160]})")
+                      f"{nlat - 1}+1 latents): FAILED ({type(e).__name__})")
                 continue
             print(f"multistream decode overlap ({S} streams x {nlat - 1}+1 "
                   f"latents -> {nf} usable f): {med*1e3:.1f} ms -> "

@@ -81,24 +81,11 @@ def v2_patches(x, k):
     return y.reshape(n - 2, h, w, -1).astype(x.dtype)
 
 
-def v3_s2d(x, k):
-    """space-to-depth: 3x3 conv at 256p Cin=3 == 2x2 conv at 128p Cin=12
-    with (phase,co) output channels + depth-to-space. Lifts the conv's
-    starved K dim 27 -> 48 without materializing HBM patches."""
-    n, h, w, c = x.shape
-    h2, w2 = h // 2, w // 2
-    co = k.shape[-1]
-    # s2d: [N,H,W,3] -> [N,H/2,W/2,12] with channel order (ph_i, ph_j, c)
-    xs = x.reshape(n, h2, 2, w2, 2, c).transpose(0, 1, 3, 2, 4, 5) \
-        .reshape(n, h2, w2, 12)
-    # kernel: out pixel (2i+pi, 2j+pj) taps input (2i+pi+di-1, 2j+pj+dj-1);
-    # the 4 output pixels of a cell tap pixels [2i-1 .. 2i+2] — spanning
-    # THREE s2d cells — so the 3x3 pixel conv becomes a VALID 3x3 CELL
-    # conv over a (1,1)-cell-padded input: padded-pixel offset within the
-    # window a = (pi+di-1) + 2 in [1..4], (cell, phase) = divmod(a, 2);
-    # input channels (qi, qj, c), output channels (pi, pj, co).
+def s2d_kernel(k_np):
+    """Build the 3x3-cell s2d kernel [3, 3, 3, 12, 4*co] from the causal
+    conv kernel (numpy, outside jit)."""
     import numpy as np
-    k_np = np.asarray(k.astype(jnp.float32))          # [3,3,3,3,co]
+    co = k_np.shape[-1]
     k2 = np.zeros((3, 3, 3, 12, 4 * co), np.float32)
     for kt in range(3):
         for pi in range(2):
@@ -107,15 +94,31 @@ def v3_s2d(x, k):
                     for dj in range(3):
                         ci_, qi = divmod(pi + di + 1, 2)
                         cj_, qj = divmod(pj + dj + 1, 2)
-                        k2[kt, ci_, cj_, (qi * 2 + qj) * 3:(qi * 2 + qj) * 3 + 3,
+                        k2[kt, ci_, cj_,
+                           (qi * 2 + qj) * 3:(qi * 2 + qj) * 3 + 3,
                            (pi * 2 + pj) * co:(pi * 2 + pj) * co + co] += \
                             k_np[kt, di, dj]
-    k2j = jnp.asarray(k2, x.dtype)
+    return k2
+
+
+def v3_s2d(x, k2j, co):
+    """space-to-depth: 3x3 conv at 256p Cin=3 == 3x3-cell conv at 128p
+    Cin=12 with (phase,co) output channels + depth-to-space. Lifts the
+    conv's starved K dim 27 -> 108 without materializing HBM patches."""
+    n, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    # s2d: [N,H,W,3] -> [N,H/2,W/2,12] with channel order (ph_i, ph_j, c)
+    xs = x.reshape(n, h2, 2, w2, 2, c).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(n, h2, w2, 12)
+    # kernel mapping (see s2d_kernel): out pixel (2i+pi, 2j+pj) taps input
+    # (2i+pi+di-1, 2j+pj+dj-1); the 4 output pixels of a cell tap pixels
+    # [2i-1 .. 2i+2] — spanning THREE s2d cells — so the 3x3 pixel conv is
+    # a VALID 3x3 CELL conv over a (1,1)-cell-padded input.
     xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
     y = None
     for kt in range(3):
         yj = jax.lax.conv_general_dilated(
-            xp[kt:n - 2 + kt], k2j[kt], (1, 1), "VALID",
+            xp[kt:n - 2 + kt], k2j[kt].astype(x.dtype), (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = yj if y is None else y + yj
     # y: [N-2, h2, w2, (pi,pj,co)] -> depth-to-space
@@ -133,10 +136,12 @@ def main():
     x = jnp.asarray(rng.randn(n, h, w, 3) * 0.3, dt)
     k = jnp.asarray(rng.randn(3, 3, 3, 3, 128) * 0.1, dt)
 
+    k2j = jnp.asarray(s2d_kernel(np.asarray(k, np.float32)), dt)
+
     if check:
         a = v0_decomposed(x, k)
         for name, fn in (("v1", v1_im2col), ("v2", v2_patches),
-                         ("v3", v3_s2d)):
+                         ("v3", lambda x, k: v3_s2d(x, k2j, 128))):
             d = float(jnp.max(jnp.abs(a - fn(x, k))))
             print(f"{name} max|d|:", d)
             assert d < 1e-4, name
@@ -145,22 +150,20 @@ def main():
 
     from profile_breakdown import capture, parse
 
+    # v1/v2 measured 2.5x SLOWER (probe_convin_im2col.log, round 4) —
+    # only the production path and the s2d candidate compile here
     @jax.jit
-    def program(x, k):
+    def program(x, k, k2j):
         acc = jnp.float32(0)
         y = v0_decomposed(x, k)
         acc += jnp.sum(y.astype(jnp.float32))
-        y = v1_im2col(x + acc.astype(dt) * 0, k)
-        acc += jnp.sum(y.astype(jnp.float32))
-        y = v2_patches(x + acc.astype(dt) * 0, k)
-        acc += jnp.sum(y.astype(jnp.float32))
-        y = v3_s2d(x + acc.astype(dt) * 0, k)
+        y = v3_s2d(x + acc.astype(dt) * 0, k2j, 128)
         acc += jnp.sum(y.astype(jnp.float32))
         return acc
 
     print(f"backend: {jax.default_backend()} | N = {n} | "
-          "order: v0, v1, v2, v3_s2d", flush=True)
-    capture(lambda: float(program(x, k)), "/tmp/vidtok_prof_ci2")
+          "order: v0, v3_s2d", flush=True)
+    capture(lambda: float(program(x, k, k2j)), "/tmp/vidtok_prof_ci2")
     parse("/tmp/vidtok_prof_ci2")
 
 

@@ -53,7 +53,7 @@ def _ln_silu(xa, g, b, eps):
     return (yf * jax.lax.logistic(yf)).astype(dt)
 
 
-def _conv3x3(h, k, bias, pre_shift=True):
+def _conv3x3(h, k, bias, pre_shift=True, center_only=False):
     """h: [rows, W, Ci] -> [rows-2, W, Co]; k: [3,3,Ci,Co] (h's dtype),
     SAME W-padding, VALID rows (halo rows consumed).
 
@@ -67,7 +67,13 @@ def _conv3x3(h, k, bias, pre_shift=True):
     co = k.shape[-1]
     out_rows = rows - 2
     acc = jnp.zeros((out_rows * w, co), jnp.float32)
-    if pre_shift:
+    if center_only:  # probe-only ablation: 3 center-column taps, no copies
+        for dr in range(3):
+            xs = h[dr:dr + out_rows].reshape(out_rows * w, ci)
+            acc += jax.lax.dot_general(
+                xs, k[dr, 1], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    elif pre_shift:
         z = jnp.zeros((rows, 1, ci), h.dtype)
         srcs = (jnp.concatenate([z, h[:, :w - 1]], axis=1), h,
                 jnp.concatenate([h[:, 1:], z], axis=1))
@@ -92,8 +98,14 @@ def _conv3x3(h, k, bias, pre_shift=True):
 
 def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
             g2_ref, b2_ref, k2_ref, c2b_ref, nk_ref, nb_ref, out_ref, *,
-            eps, has_nin, pre_shift=True, silu_fast=False):
+            eps, has_nin, pre_shift=True, silu_fast=False, ablate=""):
+    # ``ablate`` (probe-only, wrong numerics): 'noln' skips norm+silu,
+    # 'noshift' uses center-tap-only convs (3 matmuls, no W copies),
+    # 'noedge' skips the frame-edge kill masks. Used by
+    # tools/probe_spatial_attrib.py to attribute non-matmul overhead.
     ln = act.impl(silu_fast, _ln_silu)
+    if "noln" in ablate:
+        ln = lambda xa, g, b, e: xa
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     xm = xm_ref[0]                     # [R, W, Cin]
@@ -113,8 +125,10 @@ def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
     aidx = jax.lax.broadcasted_iota(jnp.int32, (ra, 1, 1), 0)
     akill = jnp.logical_or(jnp.logical_and(j == 0, aidx < 2),
                            jnp.logical_and(j == nj - 1, aidx >= ra - 2))
-    h1 = jnp.where(akill, jnp.zeros_like(h1), h1)
-    c1 = _conv3x3(h1, k1_ref[:], c1b_ref[:], pre_shift)  # [R+2, W, C]
+    if "noedge" not in ablate:
+        h1 = jnp.where(akill, jnp.zeros_like(h1), h1)
+    c1 = _conv3x3(h1, k1_ref[:], c1b_ref[:], pre_shift,
+                  center_only="noshift" in ablate)  # [R+2, W, C]
     h2 = ln(c1, g2_ref[:], b2_ref[:], eps)
     # conv2's SAME padding must tap ZERO beyond the frame — at frame
     # edges h2's halo row is a phantom (conv1-of-zeros + bias, normed),
@@ -123,8 +137,10 @@ def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
     ridx = jax.lax.broadcasted_iota(jnp.int32, (rr, 1, 1), 0)
     kill = jnp.logical_or(jnp.logical_and(j == 0, ridx == 0),
                           jnp.logical_and(j == nj - 1, ridx == rr - 1))
-    h2 = jnp.where(kill, jnp.zeros_like(h2), h2)
-    c2 = _conv3x3(h2, k2_ref[:], c2b_ref[:], pre_shift)  # [R, W, C]
+    if "noedge" not in ablate:
+        h2 = jnp.where(kill, jnp.zeros_like(h2), h2)
+    c2 = _conv3x3(h2, k2_ref[:], c2b_ref[:], pre_shift,
+                  center_only="noshift" in ablate)  # [R, W, C]
 
     if has_nin:
         r, w, ci = xm.shape
@@ -147,7 +163,7 @@ _TILE_OVERRIDE = int(_os.environ.get("VIDTOK_SPATIAL_TILE", "0"))
 def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
                               row_tile: int = 0, interpret=None,
                               pre_shift: bool = True,
-                              silu_fast: bool = None):
+                              silu_fast: bool = None, ablate: str = ""):
     """x: [N, H, W, Cin] (batch*frames folded) -> [N, H, W, C] or None.
 
     ``params``: the flax param tree of ResnetBlockSpatial (norm1/conv1/
@@ -204,7 +220,7 @@ def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
     out = pl.pallas_call(
         functools.partial(_kernel, eps=eps, has_nin=has_nin,
                           pre_shift=pre_shift,
-                          silu_fast=act.resolve(silu_fast)),
+                          silu_fast=act.resolve(silu_fast), ablate=ablate),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), dt),
         grid=(n, h // r),
         in_specs=[
