@@ -241,6 +241,14 @@ def main():
         tok.params = params
         tok.use_tiling = True
         tok.use_overlap = False
+        # Serving knobs: wider chunks raise N per scan step (MXU occupancy)
+        # and amortize per-step cache plumbing; both must divide Tv-1 resp.
+        # (Tv-1)/tdf. The step fns are chunk-shape-specialized, so these are
+        # compile-time serving choices, not model changes.
+        tok.t_chunk_enc = int(os.environ.get("VIDTOK_SCAN_TCENC",
+                                             tok.t_chunk_enc))
+        tok.t_chunk_dec = int(os.environ.get("VIDTOK_SCAN_TCDEC",
+                                             tok.t_chunk_dec))
         xs = jnp.asarray(np.random.RandomState(8)
                          .randn(S, 3, Tv, H, W).astype(np.float32) * 0.5)
 

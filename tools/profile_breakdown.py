@@ -42,6 +42,24 @@ def build(which):
     T = int(os.environ.get("VIDTOK_PROF_T", "17"))
     H = W = 256
 
+    if which == "scandec":
+        # Scan-stream decode (the slow serving path: ~12.8 ms/frame vs
+        # batch decode's ~4.8 ms/slot) — trace it to attribute the gap.
+        # VIDTOK_PROF_S streams, 129-frame video, chunk width from
+        # VIDTOK_SCAN_TCDEC (default model config).
+        S = int(os.environ.get("VIDTOK_PROF_S", "4"))
+        Tv = 129
+        tok.params = params
+        tok.use_tiling = True
+        tok.use_overlap = False
+        tok.t_chunk_dec = int(os.environ.get("VIDTOK_SCAN_TCDEC",
+                                             tok.t_chunk_dec))
+        tdf = tok.time_downsample_factor
+        z = jnp.asarray(np.random.RandomState(2)
+                        .randn(S, 16, 1 + (Tv - 1) // tdf, H // 8, W // 8)
+                        .astype(np.float32) * 0.5)
+        return (lambda: float(jnp.sum(tok.decode_streaming_scan(z)))), None
+
     if which == "encode":
         x = jnp.asarray(np.random.RandomState(0)
                         .randn(B, 3, T, H, W).astype(np.float32) * 0.5)

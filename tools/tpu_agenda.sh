@@ -45,3 +45,21 @@ if [[ "$WAVES" == *C* ]]; then
   $RUN bench_streamchunks 5400 -- \
     python tools/bench_suite.py stream streamdec streamdec_overlap
 fi
+
+# Wave D (round-4b): fresh traces at the CURRENT default stack
+# (silu_fast + tail tap-pack + VMEM-64), the two probes that direct the
+# remaining ~48 ms/call to 150 fps, and the first streaming runs with the
+# CORRECT fused gate name (VIDTOK_FUSED_STREAMING — prior runs used
+# VIDTOK_FUSE_STREAMING and silently measured the XLA graphs).
+if [[ "$WAVES" == *D* ]]; then
+  $RUN trace_decode_t161_v2 3600 -- env VIDTOK_PROF_T=161 \
+    python tools/profile_breakdown.py decode
+  $RUN trace_encode_t161_v2 3600 -- env VIDTOK_PROF_T=161 \
+    python tools/profile_breakdown.py encode
+  $RUN probe_spatial_attrib 2400 -- python tools/probe_spatial_attrib.py 20
+  $RUN probe_convin_s2d 2400 -- python tools/probe_convin_im2col.py 166
+  $RUN scanstream_s4_fstream 5400 -- env VIDTOK_SCANSTREAM=4 \
+    VIDTOK_FUSED_STREAMING=1 python tools/bench_suite.py scanstream
+  $RUN multistream_s4_fstream 5400 -- env VIDTOK_MULTISTREAM=4 \
+    VIDTOK_FUSED_STREAMING=1 python tools/bench_suite.py multistream
+fi
