@@ -53,7 +53,7 @@ def _ln_silu(xa, g, b, eps):
     return (yf * jax.lax.logistic(yf)).astype(dt)
 
 
-def _conv3x3(h, k, bias, pre_shift=True, center_only=False):
+def _conv3x3(h, k, bias, pre_shift=True, center_only=False, kpack=False):
     """h: [rows, W, Ci] -> [rows-2, W, Co]; k: [3,3,Ci,Co] (h's dtype),
     SAME W-padding, VALID rows (halo rows consumed).
 
@@ -62,6 +62,12 @@ def _conv3x3(h, k, bias, pre_shift=True, center_only=False):
     form (False) hands Mosaic 6 sublane-offset operands per conv (dw=1,2
     slices of the W+2 pad), each a vreg relayout — profiled at 46-60% MXU
     on the flagship spatial stages, which this variant targets.
+
+    ``kpack=True`` (implies pre_shift) lane-concatenates the three
+    W-shifted copies into one [rows, W, 3Ci] operand so each dr row-tap is
+    ONE K=3Ci matmul: 9 MXU issues + 9 f32 acc read-modify-writes become
+    3, trading a lane-aligned VMEM concat (the copies already exist) for
+    deeper-K MXU passes.
     """
     rows, w, ci = h.shape
     co = k.shape[-1]
@@ -72,6 +78,18 @@ def _conv3x3(h, k, bias, pre_shift=True, center_only=False):
             xs = h[dr:dr + out_rows].reshape(out_rows * w, ci)
             acc += jax.lax.dot_general(
                 xs, k[dr, 1], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    elif kpack:
+        z = jnp.zeros((rows, 1, ci), h.dtype)
+        hcat = jnp.concatenate(
+            [jnp.concatenate([z, h[:, :w - 1]], axis=1), h,
+             jnp.concatenate([h[:, 1:], z], axis=1)], axis=-1)
+        # k[dr] is [dw, Ci, Co]; reshape rows dw-major to match hcat's
+        # (dw-block, ci) channel order.
+        for dr in range(3):
+            xs = hcat[dr:dr + out_rows].reshape(out_rows * w, 3 * ci)
+            acc += jax.lax.dot_general(
+                xs, k[dr].reshape(3 * ci, co), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     elif pre_shift:
         z = jnp.zeros((rows, 1, ci), h.dtype)
@@ -98,7 +116,8 @@ def _conv3x3(h, k, bias, pre_shift=True, center_only=False):
 
 def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
             g2_ref, b2_ref, k2_ref, c2b_ref, nk_ref, nb_ref, out_ref, *,
-            eps, has_nin, pre_shift=True, silu_fast=False, ablate=""):
+            eps, has_nin, pre_shift=True, silu_fast=False, ablate="",
+            kpack=False):
     # ``ablate`` (probe-only, wrong numerics): 'noln' skips norm+silu,
     # 'noshift' uses center-tap-only convs (3 matmuls, no W copies),
     # 'noedge' skips the frame-edge kill masks. Used by
@@ -128,7 +147,7 @@ def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
     if "noedge" not in ablate:
         h1 = jnp.where(akill, jnp.zeros_like(h1), h1)
     c1 = _conv3x3(h1, k1_ref[:], c1b_ref[:], pre_shift,
-                  center_only="noshift" in ablate)  # [R+2, W, C]
+                  center_only="noshift" in ablate, kpack=kpack)  # [R+2,W,C]
     h2 = ln(c1, g2_ref[:], b2_ref[:], eps)
     # conv2's SAME padding must tap ZERO beyond the frame — at frame
     # edges h2's halo row is a phantom (conv1-of-zeros + bias, normed),
@@ -140,7 +159,7 @@ def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
     if "noedge" not in ablate:
         h2 = jnp.where(kill, jnp.zeros_like(h2), h2)
     c2 = _conv3x3(h2, k2_ref[:], c2b_ref[:], pre_shift,
-                  center_only="noshift" in ablate)  # [R, W, C]
+                  center_only="noshift" in ablate, kpack=kpack)  # [R, W, C]
 
     if has_nin:
         r, w, ci = xm.shape
@@ -158,12 +177,14 @@ def _kernel(xm_ref, xt_ref, xb_ref, g1_ref, b1_ref, k1_ref, c1b_ref,
 import os as _os
 
 _TILE_OVERRIDE = int(_os.environ.get("VIDTOK_SPATIAL_TILE", "0"))
+_KPACK = _os.environ.get("VIDTOK_SPATIAL_KPACK", "0") == "1"
 
 
 def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
                               row_tile: int = 0, interpret=None,
                               pre_shift: bool = True,
-                              silu_fast: bool = None, ablate: str = ""):
+                              silu_fast: bool = None, ablate: str = "",
+                              kpack: bool = None):
     """x: [N, H, W, Cin] (batch*frames folded) -> [N, H, W, C] or None.
 
     ``params``: the flax param tree of ResnetBlockSpatial (norm1/conv1/
@@ -220,7 +241,8 @@ def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
     out = pl.pallas_call(
         functools.partial(_kernel, eps=eps, has_nin=has_nin,
                           pre_shift=pre_shift,
-                          silu_fast=act.resolve(silu_fast), ablate=ablate),
+                          silu_fast=act.resolve(silu_fast), ablate=ablate,
+                          kpack=_KPACK if kpack is None else kpack),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), dt),
         grid=(n, h // r),
         in_specs=[

@@ -46,10 +46,22 @@ def _pad_front(a, n, replicate):
     return jnp.concatenate([front, a], axis=0)
 
 
-def _tconv3(a_pad, w, t_out, ts):
-    """a_pad: [t_out+2, ts, Cin]; w: [3, Cin, Cout] -> [t_out, ts, Cout]."""
+def _tconv3(a_pad, w, t_out, ts, kpack=False):
+    """a_pad: [t_out+2, ts, Cin]; w: [3, Cin, Cout] -> [t_out, ts, Cout].
+
+    ``kpack=True`` lane-concatenates the three time-tap views into one
+    [t_out, ts, 3Cin] operand and runs ONE K=3Cin matmul (the taps are
+    leading-axis slices, so the concat is the only copy): 3 MXU issues +
+    3 f32 acc read-modify-writes become 1.
+    """
     cin = a_pad.shape[-1]
     cout = w.shape[-1]
+    if kpack:
+        a = jnp.concatenate([a_pad[j:j + t_out] for j in range(3)],
+                            axis=-1).reshape(t_out * ts, 3 * cin)
+        acc = jnp.dot(a, w.reshape(3 * cin, cout),
+                      preferred_element_type=jnp.float32)
+        return acc.reshape(t_out, ts, cout)
     acc = jnp.zeros((t_out * ts, cout), jnp.float32)
     for j in range(3):
         a = a_pad[j:j + t_out].reshape(t_out * ts, cin)
@@ -58,7 +70,7 @@ def _tconv3(a_pad, w, t_out, ts):
 
 
 def _kernel(x_ref, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2,
-            out_ref, *, t, tile_s, replicate, silu_fast):
+            out_ref, *, t, tile_s, replicate, silu_fast, kpack=False):
     x = x_ref[0]  # [T, tile_s, C]
     dtype = x.dtype
 
@@ -68,14 +80,14 @@ def _kernel(x_ref, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2,
     else:
         a1 = _ln_silu(x, ln1_s[:], ln1_b[:]).astype(dtype)
     a1p = _pad_front(a1, 2, replicate)
-    h = _tconv3(a1p, w1[:], t, tile_s) + b1[:]
+    h = _tconv3(a1p, w1[:], t, tile_s, kpack=kpack) + b1[:]
 
     if silu_fast:
         a2 = ln(h.astype(dtype), ln2_s[:], ln2_b[:], 1e-6)
     else:
         a2 = _ln_silu(h, ln2_s[:], ln2_b[:]).astype(dtype)
     a2p = _pad_front(a2, 2, replicate)
-    y = _tconv3(a2p, w2[:], t, tile_s) + b2[:]
+    y = _tconv3(a2p, w2[:], t, tile_s, kpack=kpack) + b2[:]
 
     out_ref[0] = (x.astype(jnp.float32) + y).astype(dtype)
 
@@ -83,11 +95,12 @@ def _kernel(x_ref, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2,
 import os as _os
 
 _TILE_S = int(_os.environ.get("VIDTOK_FUSE_TEMPORAL_TILE", "128"))
+_KPACK = _os.environ.get("VIDTOK_TEMPORAL_KPACK", "0") == "1"
 
 
 def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
                             tile_s: int = None, interpret: bool = None,
-                            silu_fast: bool = None):
+                            silu_fast: bool = None, kpack: bool = None):
     """x: [B, T, H, W, C] -> same. Equal in/out channels (every temporal
     resblock in the architecture); layernorm only.
 
@@ -133,7 +146,8 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
 
     kern = functools.partial(_kernel, t=t, tile_s=tile_s,
                              replicate=(first_pad_mode == "replicate"),
-                             silu_fast=act.resolve(silu_fast))
+                             silu_fast=act.resolve(silu_fast),
+                             kpack=_KPACK if kpack is None else kpack)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
