@@ -108,6 +108,43 @@ class ResnetBlockTemporal(nn.Module):
                 x, self.variables["params"], self.first_pad_mode)
             if y is not None:
                 return y
+
+        if (fused and pallas_cfg.FUSE_TEMPORAL and streaming and self.causal
+                and not self.is_initializing()
+                and self.norm_type == "layernorm" and self.dropout == 0.0
+                and in_ch == self.out_channels):
+            # Streaming fused path: the whole chunk step (both ln_silu
+            # passes, both causal convs, residual) plus the cache
+            # update in one VMEM pass. The scan-stream decode trace
+            # (bench_artifacts/trace_scandec_fused.log) put the unfused
+            # streaming temporal blocks at ~7x the batch kernel's
+            # per-slot cost — they were the single largest line.
+            # Cache semantics mirror the unfused CausalConv1d tpad
+            # caches exactly (activated input tails, offset-adjusted);
+            # the cache VARIABLES live at block scope because only this
+            # path creates/consumes them (paths are jit-specialized, so
+            # fused and unfused graphs never share a cache pytree).
+            from ..ops.pallas.fused_temporal import (
+                fused_temporal_resblock_stream, stream_tile)
+
+            off = self.cache_offset if use_cache_offset else 0
+            b_, t_, h_, w_, c_ = x.shape
+            if t_ >= off and stream_tile(t_, h_ * w_, c_) is not None:
+                c1 = self.variable(
+                    "cache", "c1_tpad",
+                    lambda: jnp.zeros((b_, 2, h_, w_, c_), x.dtype))
+                c2 = self.variable(
+                    "cache", "c2_tpad",
+                    lambda: jnp.zeros((b_, 2, h_, w_, c_), x.dtype))
+                res = fused_temporal_resblock_stream(
+                    x, self.variables["params"], c1.value.astype(x.dtype),
+                    c2.value.astype(x.dtype), first_chunk=first_chunk,
+                    offset=off)
+                if res is not None:
+                    y, nc1, nc2 = res
+                    c1.value = nc1
+                    c2.value = nc2
+                    return y
         stream = dict(streaming=streaming, first_chunk=first_chunk,
                       use_cache_offset=use_cache_offset)
 
@@ -395,6 +432,43 @@ class TimeUpsampleRes2x(nn.Module):
                          (1,), jnp.float32)
         alpha = nn.sigmoid(mix).astype(x.dtype)
         ntu = self.num_temp_upsample
+
+        if (_PARITY_UPSAMPLE and self.interpolation_mode == "nearest"
+                and self.causal and streaming
+                and not self.is_initializing()
+                and x.shape[-1] == self.out_channels
+                and (self.cache_offset % 2 == 0 if use_cache_offset
+                     else True)):
+            # Streaming parity fast path. The unfused streaming step
+            # nearest-upsamples the chunk and runs CausalConv3d with a
+            # 2-U-frame cache; in half-rate (parity) terms that cache is
+            # exactly ONE source frame (U[2b] == U[2b+1] == s[b], and the
+            # even cache offsets the decoder derives keep the pair
+            # aligned). Prepending that frame to the chunk and dropping
+            # the first output pair reproduces the unfused chunk outputs
+            # EXACTLY while reusing the batch parity kernels unchanged —
+            # the scan-stream decode trace put the unfused streaming
+            # upsamples at ~3x the batch parity kernel's per-slot cost.
+            off_s = (self.cache_offset // 2) if use_cache_offset else 0
+            b_, t_, h_, w_, c_ = x.shape
+            if t_ >= max(off_s, 1):
+                cache = self.variable(
+                    "cache", "sprev",
+                    lambda: jnp.zeros((b_, 1, h_, w_, c_), x.dtype))
+                front = (x[:, :1] if first_chunk
+                         else cache.value.astype(x.dtype))
+                s_ext = jnp.concatenate([front, x], axis=1)
+                # s_ext index i == source-stream index i-1 relative to the
+                # chunk; the unfused cache slice [L-off-2, L-off) lands on
+                # source index t-1-off_s, i.e. s_ext[t-off_s] (the front
+                # frame itself when the offset reaches the boundary).
+                cache.value = s_ext[:, t_ - off_s: t_ - off_s + 1]
+                k = self.variables["params"]["conv"]["kernel"]
+                b = self.variables["params"]["conv"]["bias"]
+                y = _parity_up2x_conv_blend(s_ext, k, b, alpha,
+                                            self.first_pad_mode,
+                                            allow_pallas=deterministic)
+                return y[:, 2:]
 
         if (_PARITY_UPSAMPLE and self.interpolation_mode == "nearest"
                 and self.causal and not streaming

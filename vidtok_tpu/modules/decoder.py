@@ -180,6 +180,45 @@ class Decoder(nn.Module):
                       **stream(up_offs[i_level]))
                     ntu *= 2
 
+        if (fused and deterministic and streaming and not return_features
+                and causal and self.norm_type == "layernorm"
+                and not self.is_initializing()):
+            # Streaming decoder tail: cache the last two RAW pre-norm
+            # frames (their ln_silu activations are per-position, hence
+            # recomputable in-kernel), prepend them to the chunk, and run
+            # the batch tail kernel in replicate mode — frames 0/1 of its
+            # output correspond to the cached warmup taps and are
+            # dropped. Exactly reproduces the unfused conv_out streaming
+            # cache semantics (activated-input tails, offset-adjusted).
+            from ..ops.pallas.decoder_tail import decoder_tail_rgb
+
+            off = out_off if use_cache_offset else 0
+            b_, t_, h_, w_, c_ = h.shape
+            if t_ >= off:
+                cache = self.variable(
+                    "cache", "tail_h",
+                    lambda: jnp.zeros((b_, 2, h_, w_, c_), h.dtype))
+                front = (jnp.concatenate([h[:, :1]] * 2, axis=1)
+                         if first_chunk else cache.value.astype(h.dtype))
+                h_ext = jnp.concatenate([front, h], axis=1)
+                p = self.variables["params"]
+                y = decoder_tail_rgb(h_ext, p["norm_out"],
+                                     {"kernel": p["conv_out"]["kernel"],
+                                      "bias": p["conv_out"]["bias"]},
+                                     "replicate")
+                if y is not None:
+                    # unfused cache = activated full[L-off-2 : L-off] with
+                    # L = t+2; in raw ext indices that is [t-off, t-off+2)
+                    cache.value = h_ext[:, t_ - off: t_ - off + 2]
+                    y = y[:, 2:]
+                    if self.tanh_out:
+                        y = jnp.tanh(y)
+                    if self.variant == "causal":
+                        # v1.0 per-chunk warmup crop (same as the unfused
+                        # streaming exit below)
+                        y = y[:, self.time_downsample_factor - 1:]
+                    return y
+
         if (fused and deterministic and not streaming and not return_features
                 and causal and self.norm_type == "layernorm"
                 and not self.is_initializing()):

@@ -69,6 +69,51 @@ def _tconv3(a_pad, w, t_out, ts, kpack=False):
     return acc.reshape(t_out, ts, cout)
 
 
+def _stream_kernel(x_ref, c1_ref, c2_ref, ln1_s, ln1_b, w1, b1, ln2_s,
+                   ln2_b, w2, b2, out_ref, nc1_ref, nc2_ref, *, t, tile_s,
+                   first_chunk, offset, silu_fast, kpack=False):
+    """Streaming chunk step of the temporal resblock.
+
+    Cache semantics are exactly the unfused CausalConv1d's (conv.py
+    streaming branch): each conv carries the last 2 frames of its INPUT
+    (the activated tensor), stored as if the trailing ``offset`` frames
+    were never seen (overlap-tiled decode, reference
+    autoencoder_v1_1.py:212-216). ``first_chunk`` replicates the chunk's
+    first activated frame instead of reading the cache.
+    """
+    x = x_ref[0]                       # [t, tile_s, C]
+    dtype = x.dtype
+    ln = act.impl(silu_fast, None)
+
+    def activate(v, s, b):
+        if silu_fast:
+            return ln(v, s[:], b[:], 1e-6)
+        return _ln_silu(v, s[:], b[:]).astype(dtype)
+
+    a1 = activate(x, ln1_s, ln1_b)
+    if first_chunk:
+        front1 = jnp.concatenate([a1[0:1]] * 2, axis=0)
+    else:
+        front1 = c1_ref[0].astype(dtype)
+    full1 = jnp.concatenate([front1, a1], axis=0)      # [t+2, tile_s, C]
+    h = _tconv3(full1, w1[:], t, tile_s, kpack=kpack) + b1[:]
+
+    a2 = activate(h.astype(dtype), ln2_s, ln2_b)
+    if first_chunk:
+        front2 = jnp.concatenate([a2[0:1]] * 2, axis=0)
+    else:
+        front2 = c2_ref[0].astype(dtype)
+    full2 = jnp.concatenate([front2, a2], axis=0)
+    y = _tconv3(full2, w2[:], t, tile_s, kpack=kpack) + b2[:]
+
+    out_ref[0] = (x.astype(jnp.float32) + y).astype(dtype)
+    L = t + 2
+    nc1_ref[0] = jax.lax.slice_in_dim(full1, L - offset - 2, L - offset,
+                                      axis=0)
+    nc2_ref[0] = jax.lax.slice_in_dim(full2, L - offset - 2, L - offset,
+                                      axis=0)
+
+
 def _kernel(x_ref, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2,
             out_ref, *, t, tile_s, replicate, silu_fast, kpack=False):
     x = x_ref[0]  # [T, tile_s, C]
@@ -171,3 +216,75 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
         k2, params["conv2"]["bias"].astype(jnp.float32),
     )
     return out.reshape(b, t, h, w, c)
+
+
+def stream_tile(t, s, c):
+    """Aligned spatial tile for the streaming kernel's [1, t+2, tile, C]
+    blocks (same hardware-proven VMEM budget as the batch kernel), or
+    None when no tile fits — caller falls back to the unfused path."""
+    tile_s = max(64, min(_TILE_S * 128 // c, 512)) if _TILE_S != 128 else 128
+    budget = 84 * 64 * 128 * tuning.budget_scale()
+    while tile_s > 8 and (t + 2) * tile_s * c > budget:
+        tile_s //= 2
+    if (t + 2) * tile_s * c > budget:
+        return None
+    while s % tile_s != 0 and tile_s > 8:
+        tile_s //= 2
+    return tile_s if s % tile_s == 0 else None
+
+
+def fused_temporal_resblock_stream(x, params, c1, c2, *,
+                                   first_chunk: bool, offset: int = 0,
+                                   interpret: bool = None,
+                                   silu_fast: bool = None,
+                                   kpack: bool = None):
+    """Streaming chunk step: x [B,t,H,W,C] + per-conv input caches
+    c1/c2 [B,2,H,W,C] -> (y, new_c1, new_c2), matching the unfused
+    CausalConv1d streaming semantics exactly (replicate-first-frame at
+    stream start, cache = input tail stored ``offset`` frames back for
+    overlap-tiled decode). Returns None when no aligned tile exists.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, t, h, w, c = x.shape
+    if t < offset:
+        return None  # cache slice would cross the chunk boundary
+    s = h * w
+    tile_s = stream_tile(t, s, c)
+    if tile_s is None:
+        return None
+    dtype = x.dtype
+    xf = x.reshape(b, t, s, c)
+    k1 = params["conv1"]["kernel"].reshape(3, c, c).astype(dtype)
+    k2 = params["conv2"]["kernel"].reshape(3, c, c).astype(dtype)
+
+    kern = functools.partial(_stream_kernel, t=t, tile_s=tile_s,
+                             first_chunk=first_chunk, offset=offset,
+                             silu_fast=act.resolve(silu_fast),
+                             kpack=_KPACK if kpack is None else kpack)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, t, tile_s, c), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, 2, tile_s, c), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)
+    y, nc1, nc2 = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((b, t, s, c), dtype),
+                   jax.ShapeDtypeStruct((b, 2, s, c), dtype),
+                   jax.ShapeDtypeStruct((b, 2, s, c), dtype)),
+        grid=(b, s // tile_s),
+        in_specs=[xspec, cspec, cspec] + [vspec] * 8,
+        out_specs=(xspec, cspec, cspec),
+        compiler_params=tuning.mosaic_params(),
+        interpret=interpret,
+    )(
+        xf, c1.reshape(b, 2, s, c), c2.reshape(b, 2, s, c),
+        params["norm1"]["scale"].astype(jnp.float32),
+        params["norm1"]["bias"].astype(jnp.float32),
+        k1, params["conv1"]["bias"].astype(jnp.float32),
+        params["norm2"]["scale"].astype(jnp.float32),
+        params["norm2"]["bias"].astype(jnp.float32),
+        k2, params["conv2"]["bias"].astype(jnp.float32),
+    )
+    return (y.reshape(b, t, h, w, c), nc1.reshape(b, 2, h, w, c),
+            nc2.reshape(b, 2, h, w, c))
