@@ -127,6 +127,18 @@ def v3_s2d(x, k2j, co):
     return y.astype(x.dtype)
 
 
+def v4_tfold(x, k):
+    """Fold the 3 TIME taps into input channels: ONE 2D conv with
+    Cin=9 / K=81. The decomposed path's cost is dominated by the f32
+    partial-sum adds + converts between its 3 conv calls (trace_encode:
+    fusion.8 15.8 ms of conv_in's 30); the concat here is tiny (3x a
+    3-channel input) and the single conv lifts K-util 27 -> 81."""
+    n = x.shape[0]
+    xt = jnp.concatenate([x[dt:n - 2 + dt] for dt in range(3)], axis=-1)
+    kf = k.transpose(1, 2, 0, 3, 4).reshape(3, 3, 9, -1)  # [kh,kw,(dt,ci),co]
+    return conv2d(xt, kf.astype(x.dtype))
+
+
 def main():
     check = len(sys.argv) > 1 and sys.argv[1] == "check"
     n = 16 if check else int(sys.argv[1]) if len(sys.argv) > 1 else 166
@@ -141,7 +153,8 @@ def main():
     if check:
         a = v0_decomposed(x, k)
         for name, fn in (("v1", v1_im2col), ("v2", v2_patches),
-                         ("v3", lambda x, k: v3_s2d(x, k2j, 128))):
+                         ("v3", lambda x, k: v3_s2d(x, k2j, 128)),
+                         ("v4", v4_tfold)):
             d = float(jnp.max(jnp.abs(a - fn(x, k))))
             print(f"{name} max|d|:", d)
             assert d < 1e-4, name
@@ -159,10 +172,12 @@ def main():
         acc += jnp.sum(y.astype(jnp.float32))
         y = v3_s2d(x + acc.astype(dt) * 0, k2j, 128)
         acc += jnp.sum(y.astype(jnp.float32))
+        y = v4_tfold(x + acc.astype(dt) * 0, k)
+        acc += jnp.sum(y.astype(jnp.float32))
         return acc
 
     print(f"backend: {jax.default_backend()} | N = {n} | "
-          "order: v0, v3_s2d", flush=True)
+          "order: v0, v3_s2d, v4_tfold", flush=True)
     capture(lambda: float(program(x, k, k2j)), "/tmp/vidtok_prof_ci2")
     parse("/tmp/vidtok_prof_ci2")
 
