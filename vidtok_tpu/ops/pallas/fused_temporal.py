@@ -115,24 +115,35 @@ def _stream_kernel(x_ref, c1_ref, c2_ref, ln1_s, ln1_b, w1, b1, ln2_s,
 
 
 def _kernel(x_ref, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2,
-            out_ref, *, t, tile_s, replicate, silu_fast, kpack=False):
+            out_ref, *, t, tile_s, replicate, silu_fast, kpack=False,
+            ablate=""):
+    # ``ablate`` (probe-only, wrong numerics): 'noln' replaces both
+    # ln_silu passes by identity (isolates the VPU pointwise cost),
+    # 'noconv' skips the tap matmuls (isolates MXU + DMA cost). Used by
+    # tools/probe_temporal_attrib.py.
     x = x_ref[0]  # [T, tile_s, C]
     dtype = x.dtype
 
-    if silu_fast:
-        ln = act.impl(silu_fast, None)
-        a1 = ln(x, ln1_s[:], ln1_b[:], 1e-6)
-    else:
-        a1 = _ln_silu(x, ln1_s[:], ln1_b[:]).astype(dtype)
-    a1p = _pad_front(a1, 2, replicate)
-    h = _tconv3(a1p, w1[:], t, tile_s, kpack=kpack) + b1[:]
+    def activate(v, s, b):
+        if "noln" in ablate:
+            return v.astype(dtype)
+        if silu_fast:
+            return act.impl(silu_fast, None)(v, s[:], b[:], 1e-6)
+        return _ln_silu(v, s[:], b[:]).astype(dtype)
 
-    if silu_fast:
-        a2 = ln(h.astype(dtype), ln2_s[:], ln2_b[:], 1e-6)
+    a1 = activate(x, ln1_s, ln1_b)
+    a1p = _pad_front(a1, 2, replicate)
+    if "noconv" in ablate:
+        h = a1p[2:] * jnp.float32(1.0000001).astype(dtype)
     else:
-        a2 = _ln_silu(h, ln2_s[:], ln2_b[:]).astype(dtype)
+        h = _tconv3(a1p, w1[:], t, tile_s, kpack=kpack) + b1[:]
+
+    a2 = activate(h.astype(dtype), ln2_s, ln2_b)
     a2p = _pad_front(a2, 2, replicate)
-    y = _tconv3(a2p, w2[:], t, tile_s, kpack=kpack) + b2[:]
+    if "noconv" in ablate:
+        y = a2p[2:].astype(jnp.float32)
+    else:
+        y = _tconv3(a2p, w2[:], t, tile_s, kpack=kpack) + b2[:]
 
     out_ref[0] = (x.astype(jnp.float32) + y).astype(dtype)
 
@@ -145,7 +156,8 @@ _KPACK = _os.environ.get("VIDTOK_TEMPORAL_KPACK", "0") == "1"
 
 def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
                             tile_s: int = None, interpret: bool = None,
-                            silu_fast: bool = None, kpack: bool = None):
+                            silu_fast: bool = None, kpack: bool = None,
+                            ablate: str = ""):
     """x: [B, T, H, W, C] -> same. Equal in/out channels (every temporal
     resblock in the architecture); layernorm only.
 
@@ -192,7 +204,8 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
     kern = functools.partial(_kernel, t=t, tile_s=tile_s,
                              replicate=(first_pad_mode == "replicate"),
                              silu_fast=act.resolve(silu_fast),
-                             kpack=_KPACK if kpack is None else kpack)
+                             kpack=_KPACK if kpack is None else kpack,
+                             ablate=ablate)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
