@@ -252,26 +252,44 @@ def main():
         xs = jnp.asarray(np.random.RandomState(8)
                          .randn(S, 3, Tv, H, W).astype(np.float32) * 0.5)
 
-        z, _ = tok.encode_streaming_scan(xs)  # compile+warm
+        z = None
+        try:
+            z, _ = tok.encode_streaming_scan(xs)  # compile+warm
 
-        def onese():
-            zz, _ = tok.encode_streaming_scan(xs)
-            return float(jnp.sum(zz))
+            def onese():
+                zz, _ = tok.encode_streaming_scan(xs)
+                return float(jnp.sum(zz))
 
-        med = timeit(onese, n=5)
-        print(f"scan-stream encode ({S} streams x {Tv}f): {med*1e3:.1f} ms "
-              f"-> {S*Tv/med:.1f} aggregate frames/s")
+            med = timeit(onese, n=5)
+            print(f"scan-stream encode ({S} streams x {Tv}f): "
+                  f"{med*1e3:.1f} ms -> {S*Tv/med:.1f} aggregate frames/s")
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            print(f"scan-stream encode ({S} streams): FAILED "
+                  f"({type(e).__name__})")
+        if z is None:
+            tdf = tok.time_downsample_factor
+            z = jnp.asarray(np.random.RandomState(9)
+                            .randn(S, 16, 1 + (Tv - 1) // tdf, H // 8, W // 8)
+                            .astype(np.float32) * 0.5)
+        del xs  # release the S x 129f 256p input before the decode compile
+        try:
+            dec = tok.decode_streaming_scan(z)  # compile+warm
+            nf = dec.shape[2]
 
-        dec = tok.decode_streaming_scan(z)  # compile+warm
-        nf = dec.shape[2]
+            def onesd():
+                d = tok.decode_streaming_scan(z)
+                return float(jnp.sum(d))
 
-        def onesd():
-            d = tok.decode_streaming_scan(z)
-            return float(jnp.sum(d))
-
-        med = timeit(onesd, n=5)
-        print(f"scan-stream decode ({S} streams -> {nf}f): {med*1e3:.1f} ms "
-              f"-> {S*nf/med:.1f} aggregate frames/s")
+            med = timeit(onesd, n=5)
+            print(f"scan-stream decode ({S} streams -> {nf}f): "
+                  f"{med*1e3:.1f} ms -> {S*nf/med:.1f} aggregate frames/s")
+        except Exception as e:
+            import traceback
+            traceback.print_exc()
+            print(f"scan-stream decode ({S} streams): FAILED "
+                  f"({type(e).__name__})")
 
     if "vidtwin" in sections:
         # VidTwin ST-transformer throughput at the shipped 16x224x224
