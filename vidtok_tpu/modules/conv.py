@@ -101,6 +101,26 @@ def conv3d(x, kernel, bias=None, stride=(1, 1, 1), padding="VALID"):
         # SLOWER on v5e — 45.4 vs 49.1 fps end-to-end — so temporal convs
         # stay on the kt-shifted-matmul path below.)
         pad_hw = [tuple(padding[1]), tuple(padding[2])]
+
+        if kt > 1 and st == 1 and x.shape[-1] * kt <= 32:
+            # Narrow-Cin time fold (conv_in's RGB): concatenate the kt
+            # time-shifted views on channels and run ONE 2D conv with
+            # Cin = kt*ci. The kt-slice path's cost at Cin=3 is dominated
+            # by the f32 partial-sum adds/converts BETWEEN the conv calls
+            # (T=161 trace: 15.8 of conv_in's 30 ms); the concat here is
+            # tiny (3x a 3-channel input) and the single conv lifts the
+            # MXU K dim 27 -> 81. Hardware probe: 17.5 -> 8.3 ms at
+            # serving scale (bench_artifacts/probe_convin_tfold.log).
+            ci = x.shape[-1]
+            xt = jnp.concatenate(
+                [x[:, j:t_out + j] for j in range(kt)], axis=-1)
+            kf = kernel.transpose(1, 2, 0, 3, 4).reshape(
+                kernel.shape[1], kernel.shape[2], kt * ci, -1)
+            y = _conv2d_frames(xt, kf, (stride[1], stride[2]), pad_hw)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+
         y = None
         for j in range(kt):
             xs = lax.slice_in_dim(x, j, j + (t_out - 1) * st + 1, stride=st,
