@@ -67,14 +67,14 @@ def main():
     def program(sp, tp):
         acc = jnp.float32(0.0)
         for (x, p) in sp:
-            for fast in (False, True, "mxu"):
+            for fast in (False, True, "mxu", "bf16"):
                 xb = x + acc.astype(x.dtype) * 1e-30
                 o = fused_spatial_resblock_v2(x=xb, params=p,
                                               silu_fast=fast)
                 assert o is not None
                 acc += jnp.sum(o.astype(jnp.float32))
         for (x, p) in tp:
-            for fast in (False, True, "mxu"):
+            for fast in (False, True, "mxu", "bf16"):
                 xb = x + acc.astype(x.dtype) * 1e-30
                 o = fused_temporal_resblock(xb, p, silu_fast=fast)
                 assert o is not None
@@ -82,7 +82,7 @@ def main():
         return acc
 
     print("backend:", jax.default_backend(), "| N =", n,
-          "| per stage order: f32, fast, mxu | stages:",
+          "| per stage order: f32, fast, mxu, bf16 | stages:",
           [s[0] for s in STAGES] + [s[0] for s in TEMPORAL])
     capture(functools.partial(program, tuple(sp_cases), tuple(tp_cases)),
             "/tmp/vidtok_prof_silu_fast")

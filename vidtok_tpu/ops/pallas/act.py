@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 
 def _parse(raw):
-    if raw == "mxu":
-        return "mxu"
+    if raw in ("mxu", "bf16"):
+        return raw
     return raw == "1"
 
 
@@ -81,12 +81,39 @@ def ln_silu_mxu(x, g, b, eps):
 
 
 def impl(silu_fast_resolved, exact_fn):
-    """Map a resolved ``silu_fast`` value (False/True/'mxu') to the
-    ln_silu implementation a kernel should use; ``exact_fn`` is the
+    """Map a resolved ``silu_fast`` value (False/True/'mxu'/'bf16') to
+    the ln_silu implementation a kernel should use; ``exact_fn`` is the
     kernel's own exact-f32 form (used when False)."""
     if silu_fast_resolved == "mxu":
         return ln_silu_mxu
+    if silu_fast_resolved == "bf16":
+        return ln_silu_bf16s
     return ln_silu_fast if silu_fast_resolved else exact_fn
+
+
+def ln_silu_bf16s(x, g, b, eps):
+    """LayerNorm + SiLU with dtype-lane (bf16) statistics.
+
+    The temporal-kernel ablation (bench_artifacts/probe_temporal_attrib
+    .log) puts ln_silu at ~62% of the kernel and the f32 stat passes at
+    ~2/3 of THAT — the f32 cast plus two f32 lane-reduce trees move 2x
+    the vreg traffic of bf16. This variant keeps everything in the tile
+    dtype except the final rsqrt: the mean tree rounds at ~2^-9 relative
+    per step, and variance is computed CENTER-FIRST — E[(x-mu_hat)^2]
+    with the bf16 mu_hat — so there is no E[x^2]-mu^2 cancellation and a
+    mean error only ADDS mu_err^2 (quadratically small) to the variance.
+    O(2^-9)-relative contract change, gated by the end-to-end serving
+    PSNR-parity protocol (tools/parity_psnr.py) before any default flip.
+    """
+    dt = x.dtype
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rs = jax.lax.rsqrt(var.astype(jnp.float32) + eps).astype(dt)
+    y = xc * rs * g.astype(dt) + b.astype(dt)
+    sig = jnp.tanh(y * jnp.asarray(0.5, dt)) * jnp.asarray(0.5, dt) \
+        + jnp.asarray(0.5, dt)
+    return y * sig
 
 
 def ln_silu_fast(x, g, b, eps):
