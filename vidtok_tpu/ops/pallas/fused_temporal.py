@@ -116,11 +116,17 @@ def _stream_kernel(x_ref, c1_ref, c2_ref, ln1_s, ln1_b, w1, b1, ln2_s,
 
 def _kernel(x_ref, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2,
             out_ref, *, t, tile_s, replicate, silu_fast, kpack=False,
-            ablate=""):
+            ablate="", split=1):
     # ``ablate`` (probe-only, wrong numerics): 'noln' replaces both
     # ln_silu passes by identity (isolates the VPU pointwise cost),
     # 'noconv' skips the tap matmuls (isolates MXU + DMA cost). Used by
     # tools/probe_temporal_attrib.py.
+    #
+    # ``split`` > 1 processes the spatial tile as ``split`` independent
+    # column chains, python-unrolled in one body: the chains share no
+    # data, so the instruction scheduler is free to overlap one chain's
+    # VPU ln_silu with another's MXU tap matmuls (the temporal ablation
+    # probe puts ln at ~62% of the step with the MXU mostly idle).
     x = x_ref[0]  # [T, tile_s, C]
     dtype = x.dtype
 
@@ -131,21 +137,28 @@ def _kernel(x_ref, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2,
             return act.impl(silu_fast, None)(v, s[:], b[:], 1e-6)
         return _ln_silu(v, s[:], b[:]).astype(dtype)
 
-    a1 = activate(x, ln1_s, ln1_b)
-    a1p = _pad_front(a1, 2, replicate)
-    if "noconv" in ablate:
-        h = a1p[2:] * jnp.float32(1.0000001).astype(dtype)
-    else:
-        h = _tconv3(a1p, w1[:], t, tile_s, kpack=kpack) + b1[:]
+    def body(xs, ts):
+        a1 = activate(xs, ln1_s, ln1_b)
+        a1p = _pad_front(a1, 2, replicate)
+        if "noconv" in ablate:
+            h = a1p[2:] * jnp.float32(1.0000001).astype(dtype)
+        else:
+            h = _tconv3(a1p, w1[:], t, ts, kpack=kpack) + b1[:]
 
-    a2 = activate(h.astype(dtype), ln2_s, ln2_b)
-    a2p = _pad_front(a2, 2, replicate)
-    if "noconv" in ablate:
-        y = a2p[2:].astype(jnp.float32)
-    else:
-        y = _tconv3(a2p, w2[:], t, tile_s, kpack=kpack) + b2[:]
+        a2 = activate(h.astype(dtype), ln2_s, ln2_b)
+        a2p = _pad_front(a2, 2, replicate)
+        if "noconv" in ablate:
+            y = a2p[2:].astype(jnp.float32)
+        else:
+            y = _tconv3(a2p, w2[:], t, ts, kpack=kpack) + b2[:]
+        return (xs.astype(jnp.float32) + y).astype(dtype)
 
-    out_ref[0] = (x.astype(jnp.float32) + y).astype(dtype)
+    if split == 1:
+        out_ref[0] = body(x, tile_s)
+    else:
+        hs = tile_s // split
+        outs = [body(x[:, i * hs:(i + 1) * hs], hs) for i in range(split)]
+        out_ref[0] = jnp.concatenate(outs, axis=1)
 
 
 import os as _os
@@ -154,10 +167,13 @@ _TILE_S = int(_os.environ.get("VIDTOK_FUSE_TEMPORAL_TILE", "128"))
 _KPACK = _os.environ.get("VIDTOK_TEMPORAL_KPACK", "0") == "1"
 
 
+_SPLIT = int(_os.environ.get("VIDTOK_TEMPORAL_SPLIT", "1"))
+
+
 def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
                             tile_s: int = None, interpret: bool = None,
                             silu_fast: bool = None, kpack: bool = None,
-                            ablate: str = ""):
+                            ablate: str = "", split: int = None):
     """x: [B, T, H, W, C] -> same. Equal in/out channels (every temporal
     resblock in the architecture); layernorm only.
 
@@ -201,11 +217,14 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
     k1 = params["conv1"]["kernel"].reshape(3, c, c).astype(dtype)
     k2 = params["conv2"]["kernel"].reshape(3, c, c).astype(dtype)
 
+    split = _SPLIT if split is None else split
+    if tile_s % max(split, 1) or (tile_s // max(split, 1)) % 8:
+        split = 1
     kern = functools.partial(_kernel, t=t, tile_s=tile_s,
                              replicate=(first_pad_mode == "replicate"),
                              silu_fast=act.resolve(silu_fast),
                              kpack=_KPACK if kpack is None else kpack,
-                             ablate=ablate)
+                             ablate=ablate, split=split)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
