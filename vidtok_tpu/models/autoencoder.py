@@ -249,12 +249,17 @@ class VideoTokenizer:
             fused = (env == "1" if env in ("0", "1")
                      else jax.default_backend() != "cpu")
         self.fused = bool(fused)
-        # Streaming chunks measured FASTER unfused on v5e (16-frame chunk:
-        # 101.9 ms XLA vs 116.0 fused; decode chunk 174.4 vs 184.0 — the
-        # kernels' per-call overhead outweighs their fusion win at B=1
-        # chunk shapes), so streaming paths default to the XLA graphs.
+        # Streaming default flipped ON in round 4: with the streaming
+        # kernel paths (fused temporal resblock/parity upsample/decoder
+        # tail chunk steps — the rounds-2/3 "kernels slower at chunk
+        # shapes" finding predated them and also measured the WRONG env
+        # gate name), single-stream scan decode measured 98.8 -> 160.1
+        # fps and encode 215.3 -> 358.3 (bench_artifacts/
+        # scanstream_s1_{xla,fused}.log). CPU keeps the XLA graphs
+        # (kernels run in slow interpret mode there).
         envs = os.environ.get("VIDTOK_FUSED_STREAMING")
-        self.fused_streaming = envs == "1" if envs in ("0", "1") else False
+        self.fused_streaming = (envs == "1" if envs in ("0", "1")
+                                else jax.default_backend() != "cpu")
         # Key construction + splitting stay on the host CPU backend; keys
         # are tiny and feeding them to a device computation transfers them
         # implicitly. (Under the axon relay, making the PRNGKey the process's
