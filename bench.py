@@ -1,7 +1,7 @@
 """Benchmark: flagship encode+decode sustained throughput on one chip.
 
 Protocol: vidtok_kl_causal_488_16chn (bf16, fused kernels), long-clip
-serving shape Bx3xTx256x256 with B=1, T=161, dispatch pipelined at depth
+serving shape Bx3xTx256x256 with B=1, T=201, dispatch pipelined at depth
 2 (launch step i, sync step i-2). The causal time pad is a FIXED
 3-frame cost per clip (reference model_3dcausal.py:674-689: T input
 frames are computed as T+3 slots through the decoder), so sustained
@@ -40,8 +40,10 @@ sys.path.insert(0, ROOT)
 
 BASELINE_FPS = 150.0  # 5x realtime @ 30fps
 # T override for protocol probes (the causal 3-pad waste falls as 3/(T+3):
-# 1.8% at T=161, 1.2% at T=241; HBM is the T ceiling)
-BATCH, T_CLIP = 1, int(os.environ.get("VIDTOK_BENCH_T", "161"))
+# 1.8% at T=161, 1.4% at T=201; T=241 OOMs — T=201 is the HBM ceiling,
+# and its temporal-kernel tile fits run FASTER per slot: 6.77 -> 6.52 ms
+# (bench_t201.log 151.19 fps vs bench_tfold.log 145.15 at T=161))
+BATCH, T_CLIP = 1, int(os.environ.get("VIDTOK_BENCH_T", "201"))
 FALLBACK_BATCH, FALLBACK_T = 4, 17
 DEPTH = 2
 

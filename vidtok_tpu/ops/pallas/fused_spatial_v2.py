@@ -202,8 +202,16 @@ def fused_spatial_resblock_v2(x, params, *, eps: float = 1e-6,
     # W=256 at r=16 measured 17.5 MB -> OOM, hence the 16384 cutoff).
     # VIDTOK_VMEM_LIMIT_MB raises Mosaic's limit (tuning.py); the r=16
     # working-set cutoff scales with it.
+    # Row-tile sweep on hardware (bench_artifacts/probe_rtile.log, N=20):
+    # c128@256p 7.57/6.94/6.75 ms at r=8/16/32 (halo ln_silu recompute is
+    # (r+4)/r + (r+2)/r, so bigger tiles amortize it) — but nin256 and
+    # c256@128p measured WORSE at r=32 (11.54 vs 10.51 / 5.44 vs 4.92;
+    # wider channels blow the sweet spot). r=32 only for the measured-win
+    # equal-128-channel family.
     r = row_tile or _TILE_OVERRIDE or (
-        16 if max(cin, c) * w <= 16384 * tuning.budget_scale() else 8)
+        32 if (cin == c == 128 and w == 256 and h % 32 == 0 and h >= 64
+               and tuning.budget_scale() >= 4)
+        else 16 if max(cin, c) * w <= 16384 * tuning.budget_scale() else 8)
     if r % 2 or h % r or h < r + 2:
         return None
     if not interpret and (w % 16 or cin % 128 or c % 128):
