@@ -159,3 +159,25 @@ def test_kpack_matches_baseline(kpack):
         ta = fused_temporal_resblock(xt, pt, first_pad_mode=mode, kpack=False)
         tb = fused_temporal_resblock(xt, pt, first_pad_mode=mode, kpack=kpack)
         np.testing.assert_allclose(np.asarray(ta), np.asarray(tb), atol=1e-5)
+
+
+def test_subpixel_merged_matches():
+    """Merged-z subpixel path (one padded input + one 4C VALID conv +
+    offset-reading epilogue) == the naive nearest-up + 3x3 conv."""
+    import vidtok_tpu.modules.blocks as blocks
+    from vidtok_tpu.modules.conv import _conv2d_frames
+    from vidtok_tpu.modules.interp import spatial_nearest_up2x
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 3, 12, 16, 128).astype(np.float32) * 0.5)
+    k = jnp.asarray(rng.randn(3, 3, 128, 128).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+    ref = _conv2d_frames(spatial_nearest_up2x(x), k, (1, 1),
+                         [(1, 1), (1, 1)]) + b
+    old = blocks._SUBPIXEL_MERGED
+    try:
+        blocks._SUBPIXEL_MERGED = True
+        m = blocks._subpixel_up2x_conv3x3(x, k, b, allow_pallas=True)
+    finally:
+        blocks._SUBPIXEL_MERGED = old
+    np.testing.assert_allclose(np.asarray(m), np.asarray(ref), atol=1e-5)

@@ -332,6 +332,22 @@ def _subpixel_up2x_conv3x3(x, k, bias, allow_pallas=False):
         return lax.conv_general_dilated(xp, kern, (1, 1), [pad_r, pad_c],
                                         dimension_numbers=dn)
 
+    if allow_pallas and _SUBPIXEL_MERGED:
+        # Merged form: ONE once-padded input + ONE VALID 2x2 conv with
+        # the four parity kernels on output-channel groups; the epilogue
+        # reads each parity at its (row, col) offset in-kernel. Kills 3
+        # of the 4 per-conv input layout copies (4 x 2.1 ms at
+        # up_1_upsample in the T=161 trace) and runs one 4C-wide conv.
+        from ..ops.pallas.subpixel_epilogue import subpixel_interleave_z
+
+        cout = k.shape[-1]
+        xp = jnp.pad(xf, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        k4 = jnp.concatenate([e00, e01, e10, e11], axis=-1)
+        z = conv2(xp, k4, (0, 0), (0, 0))         # [N, H+1, W+1, 4C]
+        y = subpixel_interleave_z(z, bias, cout)
+        if y is not None:
+            return y.reshape(b, t, 2 * h, 2 * w, cout)
+
     # parity (pr, pc): source window rows start at a-1 (pr=0, pad top) or a
     # (pr=1, pad bottom); same for columns
     y00 = conv2(xf, e00, (1, 0), (1, 0))
@@ -539,6 +555,10 @@ _PARITY_EPILOGUE = _os.environ.get("VIDTOK_PARITY_EPILOGUE", "1") == "1"
 # Merge the two C->2C parity convs into ONE C->4C conv (one conv input
 # layout copy instead of two). Exact; A/B-gated.
 _PARITY_MERGED = _os.environ.get("VIDTOK_PARITY_MERGED", "1") == "1"
+# Merge the four subpixel parity convs into ONE VALID 2x2 conv on a
+# once-padded input (epilogue reads parity offsets in-kernel). Exact;
+# A/B-gated.
+_SUBPIXEL_MERGED = _os.environ.get("VIDTOK_SUBPIXEL_MERGED", "1") == "1"
 
 
 def _parity_up2x_conv_blend(s, k, bias, alpha, first_pad_mode,
