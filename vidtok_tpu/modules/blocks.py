@@ -556,9 +556,12 @@ _PARITY_EPILOGUE = _os.environ.get("VIDTOK_PARITY_EPILOGUE", "1") == "1"
 # layout copy instead of two). Exact; A/B-gated.
 _PARITY_MERGED = _os.environ.get("VIDTOK_PARITY_MERGED", "1") == "1"
 # Merge the four subpixel parity convs into ONE VALID 2x2 conv on a
-# once-padded input (epilogue reads parity offsets in-kernel). Exact;
-# A/B-gated.
-_SUBPIXEL_MERGED = _os.environ.get("VIDTOK_SUBPIXEL_MERGED", "1") == "1"
+# once-padded input (epilogue reads parity offsets in-kernel). Exact,
+# but measured NEUTRAL-to-slightly-negative end-to-end (152.29 ->
+# 151.86 fps, bench_subpixm.log vs bench_r32_t201.log — the 4C-wide z
+# write plus in-kernel sublane-offset reads cost what the 3 saved
+# input copies bought). Default OFF; probe-selectable.
+_SUBPIXEL_MERGED = _os.environ.get("VIDTOK_SUBPIXEL_MERGED", "0") == "1"
 
 
 def _parity_up2x_conv_blend(s, k, bias, alpha, first_pad_mode,
