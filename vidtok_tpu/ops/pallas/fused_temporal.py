@@ -163,7 +163,7 @@ def _kernel(x_ref, ln1_s, ln1_b, w1, b1, ln2_s, ln2_b, w2, b2,
 
 import os as _os
 
-_TILE_S = int(_os.environ.get("VIDTOK_FUSE_TEMPORAL_TILE", "128"))
+_TILE_S = int(_os.environ.get("VIDTOK_FUSE_TEMPORAL_TILE", "64"))
 _KPACK = _os.environ.get("VIDTOK_TEMPORAL_KPACK", "0") == "1"
 
 
@@ -184,11 +184,16 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
         interpret = jax.default_backend() == "cpu"
     b, t, h, w, c = x.shape
     if tile_s is None:
-        if _TILE_S != 128:
+        if _TILE_S != 64:
             # experimental VMEM-budgeted scaling (tile_s*C constant)
-            tile_s = max(64, min(_TILE_S * 128 // c, 512))
+            tile_s = max(32, min(_TILE_S * 128 // c, 512))
         else:
-            tile_s = 128  # measured default (61.4 fps end-to-end)
+            # tile sweep at serving shapes (bench_artifacts/
+            # probe_ttile.log): t164_c128 6.09/6.02/7.27 ms and t82_c256
+            # 1.82/1.81/2.12 at tile 32/64/128 — 64 beats the old 128
+            # default by ~20% at level 0 (the T=201 protocol's per-slot
+            # win over T=161 was exactly this VMEM-forced shrink).
+            tile_s = 64
         # The block is [1, t, tile_s, c]: VMEM scales with t, and Mosaic
         # kills the whole compile (relay HTTP 500) when the block's f32
         # working set blows the 16 MB scoped-VMEM limit. Hardware probe
@@ -254,7 +259,7 @@ def stream_tile(t, s, c):
     """Aligned spatial tile for the streaming kernel's [1, t+2, tile, C]
     blocks (same hardware-proven VMEM budget as the batch kernel), or
     None when no tile fits — caller falls back to the unfused path."""
-    tile_s = max(64, min(_TILE_S * 128 // c, 512)) if _TILE_S != 128 else 128
+    tile_s = max(32, min(_TILE_S * 128 // c, 512)) if _TILE_S != 64 else 64
     budget = 84 * 64 * 128 * tuning.budget_scale()
     while tile_s > 8 and (t + 2) * tile_s * c > budget:
         tile_s //= 2
