@@ -1,11 +1,19 @@
-"""Training-stack tests: full GAN step on the 8-device CPU mesh."""
+"""Training-stack tests: full GAN step on the 8-device CPU mesh, plus
+value-level goldens of the loss stack vs reference losses.py (VERDICT r4)."""
+
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from tests.golden_utils import load_golden
 from vidtok_tpu.train.trainer import VidTokTrainer
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 TINY_CFG = {
     "model": {"base_learning_rate": 1e-4, "params": {
@@ -56,6 +64,141 @@ def test_train_step_updates(trainer_and_state):
     ema1 = jax.device_get(state.ema_params[0]["core"]["encoder"]["conv_in"]["kernel"])
     assert not np.allclose(ema0, ema1)
     assert float(state.lecam_ema_real) != 0.0
+
+
+# ---------------------------------------------------------------------------
+# Loss-stack value parity vs reference losses.py (GeneralLPIPSWithDiscriminator
+# :73-262): same weights + same inputs -> same aeloss/discloss/d_weight/
+# lecam/nll through the FULL stack (encoder -> KL(mode) -> decoder ->
+# generator_loss / discriminator_loss), both optimizer paths, both disc
+# types, gated and ungated global steps.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_MODEL_CFG = {"model": {"params": {
+    "encoder_config": {"target": "EncoderCausal3D", "params": {
+        "double_z": True, "z_channels": 4, "in_channels": 3, "out_ch": 3,
+        "ch": 32, "ch_mult": [1, 2, 2], "time_downsample_factor": 4,
+        "num_res_blocks": 1, "norm_type": "layernorm",
+        "tempo_ds": [0, 1], "tempo_us": [1, 2]}},
+    "decoder_config": {"target": "DecoderCausal3D",
+                       "params": "${model.params.encoder_config.params}"},
+    "regularizer_config": {"target": "DiagonalGaussianRegularizer",
+                           "params": {"sample": False}},
+}}}
+
+_GOLDEN_LOSS_KW = {
+    "2d": dict(disc_start=6, disc_weight=0.2, disc_type="2d",
+               learn_logvar=True, gen_loss_cross_entropy=True,
+               lecam_loss_weight=0.005, disc_loss="hinge",
+               logvar_init=0.3, perceptual_weight=1.0,
+               regularization_weights={"kl_loss": 1e-4}),
+    "3d": dict(disc_start=6, disc_weight=0.7, disc_type="3d",
+               learn_logvar=False, gen_loss_cross_entropy=False,
+               lecam_loss_weight=0.0, disc_loss="vanilla",
+               logvar_init=0.0, perceptual_weight=1.0,
+               regularization_weights={"kl_loss": 1e-4}),
+}
+
+
+@pytest.mark.parametrize("case", ["2d", "3d"])
+def test_loss_stack_value_parity(case):
+    from convert_lpips import convert as lpips_convert
+
+    from vidtok_tpu.config import load_config
+    from vidtok_tpu.models.autoencoder import (TokenizerCore,
+                                               build_core_from_config)
+    from vidtok_tpu.modules.lpips import LPIPS
+    from vidtok_tpu.train.losses import (LossConfig, discriminator_loss,
+                                         generator_loss, make_discriminator)
+    from vidtok_tpu.utils.checkpoint import (convert_discriminator_state_dict,
+                                             convert_torch_state_dict,
+                                             unflatten_params)
+
+    sd, arrays = load_golden(f"loss_stack_{case}")
+
+    cfg = load_config(_GOLDEN_MODEL_CFG)
+    core, meta = build_core_from_config(cfg["model"])
+    model_sd = {k: v for k, v in sd.items()
+                if k.startswith(("encoder.", "decoder."))}
+    params_core = convert_torch_state_dict(model_sd)
+
+    feats = {k[len("lpips.features."):]: v for k, v in sd.items()
+             if k.startswith("lpips.features.")}
+    lin = {k[len("lpips."):]: v for k, v in sd.items()
+           if k.startswith("lpips.lin")}
+    lpips_params = unflatten_params(lpips_convert(feats, lin))
+
+    loss_cfg = LossConfig.from_dict(_GOLDEN_LOSS_KW[case])
+    disc = make_discriminator(loss_cfg)
+    dparams, dstats = convert_discriminator_state_dict(
+        sd, prefix="loss.discriminator.")
+    disc_vars = {"params": dparams, "batch_stats": dstats}
+
+    x = jnp.transpose(jnp.asarray(arrays["x"]), (0, 2, 3, 4, 1))
+    z, xrec, pre, reg_log = core.apply(
+        {"params": params_core}, x, rngs={"sample": jax.random.PRNGKey(0)},
+        method=TokenizerCore.forward_train)
+
+    # model forward parity first (everything downstream rides on xrec)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(xrec), (0, 4, 1, 2, 3)), arrays["xrec"],
+        atol=3e-4, rtol=3e-3)
+    np.testing.assert_allclose(float(reg_log["kl_loss"]), arrays["kl_loss"],
+                               rtol=1e-4)
+
+    logvar = jnp.float32(arrays["logvar"])
+    lpips = LPIPS()
+    for gref in (0, 10):
+        # reference global_step counts both optimizer steps (Lightning
+        # manual opt); ours counts batches -> step = gref / step_scale
+        step = gref // loss_cfg.step_scale
+        aeloss, logs, _ = generator_loss(
+            cfg=loss_cfg, lpips=lpips, lpips_params=lpips_params,
+            disc=disc, disc_vars=disc_vars,
+            last_layer_params=params_core["decoder"]["conv_out"],
+            apply_last_layer=core.decoder.apply_conv_out,
+            logvar=logvar, x=x, xrec=xrec, pre_features=pre,
+            reg_log=reg_log, global_step=step)
+        for ours, ref in [("total_loss", "aeloss"), ("nll_loss", "nll_loss"),
+                          ("rec_loss", "rec_loss"), ("p_loss", "p_loss"),
+                          ("g_loss", "g_loss"),
+                          ("disc_factor", "disc_factor"),
+                          ("kl_loss", "kl_loss")]:
+            np.testing.assert_allclose(
+                float(logs[f"train/{ours}"]), arrays[f"g{gref}_{ref}"],
+                rtol=3e-3, atol=1e-5,
+                err_msg=f"{case} g{gref} {ours}")
+        np.testing.assert_allclose(float(aeloss), arrays[f"g{gref}_aeloss"],
+                                   rtol=3e-3, err_msg=f"{case} g{gref}")
+        # d_weight is a ratio of grad norms through VGG+disc: looser
+        np.testing.assert_allclose(
+            float(logs["train/d_weight"]), arrays[f"g{gref}_d_weight"],
+            rtol=2e-2, err_msg=f"{case} g{gref} d_weight")
+
+        d_loss, logs_d, _, (ema_r, ema_f) = discriminator_loss(
+            cfg=loss_cfg, disc=disc, disc_vars=disc_vars, x=x, xrec=xrec,
+            global_step=step, lecam_ema_real=jnp.float32(0.0),
+            lecam_ema_fake=jnp.float32(0.0))
+        np.testing.assert_allclose(float(d_loss), arrays[f"g{gref}_discloss"],
+                                   rtol=3e-3, atol=1e-6,
+                                   err_msg=f"{case} g{gref} discloss")
+        for ours, ref in [("logits_real", "logits_real"),
+                          ("logits_fake", "logits_fake"),
+                          ("non_saturated_d_loss", "non_saturated_d_loss")]:
+            np.testing.assert_allclose(
+                float(logs_d[f"train/{ours}"]), arrays[f"g{gref}_{ref}"],
+                rtol=3e-3, atol=1e-5, err_msg=f"{case} g{gref} {ours}")
+        if loss_cfg.lecam_loss_weight > 0:
+            np.testing.assert_allclose(
+                float(logs_d["train/lecam_loss"]),
+                arrays[f"g{gref}_lecam_loss"], rtol=3e-3,
+                err_msg=f"{case} g{gref} lecam")
+            np.testing.assert_allclose(float(ema_r),
+                                       arrays[f"g{gref}_lecam_real"],
+                                       rtol=3e-3)
+            np.testing.assert_allclose(float(ema_f),
+                                       arrays[f"g{gref}_lecam_fake"],
+                                       rtol=3e-3)
 
 
 def test_disc_warmup_gating():

@@ -270,8 +270,9 @@ def main():
                   f"({type(e).__name__})")
         if z is None:
             tdf = tok.time_downsample_factor
+            zc = tok.core.decoder.z_channels  # not always 16 (advisor r4)
             z = jnp.asarray(np.random.RandomState(9)
-                            .randn(S, 16, 1 + (Tv - 1) // tdf, H // 8, W // 8)
+                            .randn(S, zc, 1 + (Tv - 1) // tdf, H // 8, W // 8)
                             .astype(np.float32) * 0.5)
         del xs  # release the S x 129f 256p input before the decode compile
         try:

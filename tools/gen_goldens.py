@@ -762,19 +762,13 @@ def gen_lr_schedules():
     save("lr_schedules", {}, arrays)
 
 
-def gen_lpips():
-    """LPIPS numerical-parity fixture (reference lpips.py:61-172).
-
-    torchvision is unavailable here, so stub ``torchvision.models.vgg16``
+def _install_tv_stub():
+    """torchvision is unavailable here: stub ``torchvision.models.vgg16``
     with the standard VGG16 'features' Sequential (identical module layout
-    and state-dict keys) under RANDOM weights, and skip the vgg.pth
-    download by patching load_from_pretrained. The fixture then carries the
-    exact tensors the real conversion flow would see: a torchvision-style
-    features state dict + lin-head state dict + input pair + the reference
-    LPIPS distance. The JAX test pushes the state dicts through
-    tools/convert_lpips.convert() and asserts distance parity — validating
-    module AND converter, so real weights drop in unchanged when available.
-    """
+    and state-dict keys) under seeded RANDOM weights, and patch the
+    reference LPIPS's vgg.pth download away. Returns a holder dict that
+    captures the torchvision-style features state dict on each vgg16()
+    call. Shared by gen_lpips and gen_loss_stack."""
     tv = _mkmod("torchvision")
     tvm = _mkmod("torchvision.models")
 
@@ -816,12 +810,33 @@ def gen_lpips():
     from vidtok.modules import lpips as reflp
 
     reflp.LPIPS.load_from_pretrained = lambda self, name="vgg_lpips": None
-    model = reflp.LPIPS(use_dropout=True).eval()
-    g = torch.Generator().manual_seed(77)
+    return holder
+
+
+def _seed_lin_heads(lpips_model, seed=77):
+    """Seeded positive lin-head weights (shared recipe)."""
+    g = torch.Generator().manual_seed(seed)
     with torch.no_grad():
         for k in range(5):
-            w = getattr(model, f"lin{k}").model[1].weight
+            w = getattr(lpips_model, f"lin{k}").model[1].weight
             w.copy_(torch.rand(w.shape, generator=g))  # positive heads
+
+
+def gen_lpips():
+    """LPIPS numerical-parity fixture (reference lpips.py:61-172).
+
+    The fixture carries the exact tensors the real conversion flow would
+    see: a torchvision-style features state dict + lin-head state dict +
+    input pair + the reference LPIPS distance. The JAX test pushes the
+    state dicts through tools/convert_lpips.convert() and asserts distance
+    parity — validating module AND converter, so real weights drop in
+    unchanged when available.
+    """
+    holder = _install_tv_stub()
+    from vidtok.modules import lpips as reflp
+
+    model = reflp.LPIPS(use_dropout=True).eval()
+    _seed_lin_heads(model)
 
     x = (randn(4, 3, 64, 64, seed=3) * 0.4).clamp(-1, 1)
     y = (x + randn(4, 3, 64, 64, seed=4) * 0.15).clamp(-1, 1)
@@ -832,6 +847,101 @@ def gen_lpips():
     sd.update({k: v for k, v in model.state_dict().items()
                if k.startswith("lin")})
     save("lpips", sd, dict(x=x.numpy(), y=y.numpy(), dist=dist.numpy()))
+
+
+def gen_loss_stack():
+    """Value-level golden for the FULL training loss stack (VERDICT r4 #2).
+
+    Runs the reference GeneralLPIPSWithDiscriminator (losses.py:73-262) end
+    to end on a tiny seeded model: encoder -> KL regularizer (mode) ->
+    decoder -> both optimizer_idx paths at a pre-disc-start and a
+    post-disc-start global step, with the autograd adaptive d_weight
+    (losses.py:137-148) differentiating through the live decoder graph and
+    the LeCAM EMA (losses.py:54-70) reset to 0 before each disc step.
+
+    Two cases cover every loss branch:
+      2d:  CE gen loss + hinge + lecam + learn_logvar (flagship recipe)
+      3d:  -mean(logits) gen loss + vanilla + no lecam
+
+    Deliberate divergence captured here: the discriminator runs in train
+    mode (BN batch stats — Lightning train()), but perceptual_loss stays
+    eval (no lin-head dropout). The reference's model.train() would also
+    re-enable LPIPS dropout; our JAX loss is deterministic, matching eval.
+    """
+    holder = _install_tv_stub()
+    from vidtok.modules import losses as reflosses
+
+    cfg = small_cfg()
+    enc = reinit(m1.EncoderCausal3DPadding(**cfg).eval(), 21)
+    dec = reinit(m1.DecoderCausal3DPadding(**cfg).eval(), 121)
+    reg = refreg.DiagonalGaussianRegularizer(sample=False)
+
+    x = (randn(2, 3, 5, 32, 32, seed=5) * 0.4).clamp(-1, 1)
+    zp = enc(x)                      # grad-enabled: the adaptive d_weight
+    z, reg_log = reg(zp)             # autograds through this graph
+    xrec = dec(z)
+    last_layer = dec.get_last_layer()  # conv_out.conv.weight
+
+    base_sd = {f"encoder.{k}": v.clone() for k, v in enc.state_dict().items()}
+    base_sd.update({f"decoder.{k}": v.clone()
+                    for k, v in dec.state_dict().items()})
+
+    cases = {
+        "2d": dict(dims=3, disc_start=6, disc_weight=0.2, disc_type="2d",
+                   learn_logvar=True, gen_loss_cross_entropy=True,
+                   lecam_loss_weight=0.005, disc_loss="hinge",
+                   logvar_init=0.3, perceptual_weight=1.0,
+                   regularization_weights={"kl_loss": 1e-4}),
+        "3d": dict(dims=3, disc_start=6, disc_weight=0.7, disc_type="3d",
+                   learn_logvar=False, gen_loss_cross_entropy=False,
+                   lecam_loss_weight=0.0, disc_loss="vanilla",
+                   logvar_init=0.0, perceptual_weight=1.0,
+                   regularization_weights={"kl_loss": 1e-4}),
+    }
+    for name, kw in cases.items():
+        torch.manual_seed(31)
+        loss = reflosses.GeneralLPIPSWithDiscriminator(**kw)
+        # wider-than-reinit disc weights: keeps the g_loss grads large
+        # enough that d_weight comes off the 1e4 clamp — the norm-ratio
+        # math (losses.py:137-148) is only tested when unclamped
+        g = torch.Generator().manual_seed(41)
+        with torch.no_grad():
+            for p in loss.discriminator.parameters():
+                p.copy_(torch.randn(p.shape, generator=g) * 0.3)
+        _seed_lin_heads(loss.perceptual_loss)
+        loss.discriminator.train()
+        loss.perceptual_loss.eval()
+
+        sd = dict(base_sd)
+        sd.update({f"loss.discriminator.{k}": v.clone()
+                   for k, v in loss.discriminator.state_dict().items()})
+        sd.update({f"lpips.features.{k}": v.clone()
+                   for k, v in holder["features_sd"].items()})
+        sd.update({f"lpips.{k}": v.clone()
+                   for k, v in loss.perceptual_loss.state_dict().items()
+                   if k.startswith("lin")})
+
+        arrays = dict(x=x.detach().numpy(), z=z.detach().numpy(),
+                      xrec=xrec.detach().numpy(),
+                      kl_loss=reg_log["kl_loss"].item(),
+                      logvar=loss.logvar.item())
+        for gstep in (0, 10):
+            l0, log0 = loss(reg_log, x, xrec, 0, gstep,
+                            last_layer=last_layer)
+            arrays[f"g{gstep}_aeloss"] = float(l0)
+            for k, v in log0.items():
+                arrays[f"g{gstep}_{k.split('/')[-1]}"] = float(v)
+            if loss.lecam_loss_weight > 0:
+                loss.lecam_ema.logits_real_ema = 0.0
+                loss.lecam_ema.logits_fake_ema = 0.0
+            l1, log1 = loss(reg_log, x, xrec, 1, gstep)
+            arrays[f"g{gstep}_discloss"] = float(l1)
+            for k, v in log1.items():
+                arrays[f"g{gstep}_{k.split('/')[-1]}"] = float(v)
+            if loss.lecam_loss_weight > 0:
+                arrays[f"g{gstep}_lecam_real"] = loss.lecam_ema.logits_real_ema
+                arrays[f"g{gstep}_lecam_fake"] = loss.lecam_ema.logits_fake_ema
+        save(f"loss_stack_{name}", sd, arrays)
 
 
 def main():
@@ -863,6 +973,7 @@ def main():
                          time_downsample_factor=2))
     gen_fsq()
     gen_lpips()
+    gen_loss_stack()
     gen_v11_tiled()
     gen_flagship()
     gen_v11_long()

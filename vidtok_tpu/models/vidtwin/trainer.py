@@ -53,6 +53,11 @@ class VidTwinTrainer:
 
         self.opt_g = make_opt(self.sched_g)
         self.opt_d = make_opt(self.sched_d)
+        # bf16-mixed: same seam as VidTokTrainer (fp32 master params, bf16
+        # forward/backward, fp32 loss arithmetic) — the shipped config's
+        # training.precision
+        self.precision = str((cfg.get("training", {}) or {})
+                             .get("precision", "fp32"))
         self.seed = seed
         self.mesh = mesh if mesh is not None else make_mesh()
         lp = load_lpips_params(lpips_weights) if lpips_weights else load_lpips_params()
@@ -87,6 +92,21 @@ class VidTwinTrainer:
         model, disc, lpips = self.model, self.disc, self.lpips
         loss_cfg = self.loss_cfg
         opt_g, opt_d = self.opt_g, self.opt_d
+        half = jnp.bfloat16 if self.precision.startswith("bf16") else None
+
+        def hcast(t):
+            if half is None:
+                return t
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(half)
+                if getattr(a, "dtype", None) == jnp.float32 else a, t)
+
+        def f32cast(t):
+            if half is None or t is None:
+                return t
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if getattr(a, "dtype", None) == jnp.bfloat16 else a, t)
 
         def apply_last_layer(linear_params, pre):
             y = pre @ linear_params["kernel"] + linear_params["bias"]
@@ -94,20 +114,24 @@ class VidTwinTrainer:
 
         def train_step(state: TrainState, x, lpips_params, rng):
             step = state.step
+            lpips_h = hcast(lpips_params)
 
             def g_loss_fn(params_g):
+                core_h = hcast(params_g["core"])
                 z, xrec, pre, reg_log, _ = model.apply(
-                    {"params": params_g["core"]}, x, return_features=True,
-                    rngs={"sample": rng})
-                disc_vars = {"params": state.params_d,
-                             "batch_stats": state.batch_stats_d}
+                    {"params": core_h},
+                    x if half is None else x.astype(half),
+                    return_features=True, rngs={"sample": rng})
+                disc_vars = {"params": hcast(state.params_d),
+                             "batch_stats": hcast(state.batch_stats_d)}
                 loss, logs, bs_g = generator_loss(
-                    cfg=loss_cfg, lpips=lpips, lpips_params=lpips_params,
+                    cfg=loss_cfg, lpips=lpips, lpips_params=lpips_h,
                     disc=disc, disc_vars=disc_vars,
-                    last_layer_params=params_g["core"]["decoder"]["final_layer"]["linear"],
+                    last_layer_params=core_h["decoder"]["final_layer"]["linear"],
                     apply_last_layer=apply_last_layer,
                     logvar=params_g["logvar"], x=x, xrec=xrec,
-                    pre_features=pre, reg_log=reg_log, global_step=step)
+                    pre_features=pre, reg_log=reg_log, global_step=step,
+                    compute_dtype=half)
                 return loss, (xrec, logs, bs_g)
 
             (aeloss, (xrec, logs_g, bs_g)), grads_g = jax.value_and_grad(
@@ -119,14 +143,15 @@ class VidTwinTrainer:
             new_params_g = optax.apply_updates(state.params_g, updates_g)
 
             def d_loss_fn(params_d):
-                disc_vars = {"params": params_d,
-                             "batch_stats": bs_g if bs_g is not None
-                             else state.batch_stats_d}
+                disc_vars = {"params": hcast(params_d),
+                             "batch_stats": hcast(bs_g) if bs_g is not None
+                             else hcast(state.batch_stats_d)}
                 d_loss, logs_d, new_bs, lecam = discriminator_loss(
                     cfg=loss_cfg, disc=disc, disc_vars=disc_vars, x=x,
                     xrec=xrec, global_step=step,
                     lecam_ema_real=state.lecam_ema_real,
-                    lecam_ema_fake=state.lecam_ema_fake)
+                    lecam_ema_fake=state.lecam_ema_fake,
+                    compute_dtype=half)
                 return d_loss, (logs_d, new_bs, lecam)
 
             (discloss, (logs_d, new_bs, lecam)), grads_d = jax.value_and_grad(
@@ -137,7 +162,8 @@ class VidTwinTrainer:
 
             new_state = state.replace(
                 step=step + 1, params_g=new_params_g, params_d=new_params_d,
-                batch_stats_d=new_bs if new_bs is not None else state.batch_stats_d,
+                batch_stats_d=(f32cast(new_bs) if new_bs is not None
+                               else state.batch_stats_d),
                 opt_state_g=new_opt_g, opt_state_d=new_opt_d,
                 lecam_ema_real=lecam[0], lecam_ema_fake=lecam[1])
             logs = {"train/aeloss": aeloss, "train/discloss": discloss,

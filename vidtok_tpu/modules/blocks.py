@@ -129,22 +129,37 @@ class ResnetBlockTemporal(nn.Module):
 
             off = self.cache_offset if use_cache_offset else 0
             b_, t_, h_, w_, c_ = x.shape
-            if t_ >= off and stream_tile(t_, h_ * w_, c_) is not None:
+            fit = t_ >= off and stream_tile(t_, h_ * w_, c_) is not None
+            # Path latch (advisor r4): the fused path keeps its caches
+            # under different names than the unfused CausalConv1d tpad
+            # caches, so the per-chunk decision must not flip mid-stream
+            # (flax would silently zero-init the other path's cache). A
+            # non-first chunk may take the fused path only if the first
+            # chunk created its caches; the reverse flip raises below.
+            if fit and not first_chunk and not self.has_variable(
+                    "cache", "c1_tpad"):
+                fit = False
+            if fit:
                 c1 = self.variable(
                     "cache", "c1_tpad",
                     lambda: jnp.zeros((b_, 2, h_, w_, c_), x.dtype))
                 c2 = self.variable(
                     "cache", "c2_tpad",
                     lambda: jnp.zeros((b_, 2, h_, w_, c_), x.dtype))
-                res = fused_temporal_resblock_stream(
+                y, nc1, nc2 = fused_temporal_resblock_stream(
                     x, self.variables["params"], c1.value.astype(x.dtype),
                     c2.value.astype(x.dtype), first_chunk=first_chunk,
                     offset=off)
-                if res is not None:
-                    y, nc1, nc2 = res
-                    c1.value = nc1
-                    c2.value = nc2
-                    return y
+                c1.value = nc1
+                c2.value = nc2
+                return y
+        if (streaming and not first_chunk and not self.is_initializing()
+                and self.has_variable("cache", "c1_tpad")):
+            raise ValueError(
+                "ResnetBlockTemporal streaming path flip: the first chunk "
+                f"used the fused kernel but this chunk (shape {x.shape}) "
+                "does not fit it; keep chunk shapes stream-invariant or "
+                "disable the fused streaming path for this stream.")
         stream = dict(streaming=streaming, first_chunk=first_chunk,
                       use_cache_offset=use_cache_offset)
 
@@ -467,7 +482,14 @@ class TimeUpsampleRes2x(nn.Module):
             # upsamples at ~3x the batch parity kernel's per-slot cost.
             off_s = (self.cache_offset // 2) if use_cache_offset else 0
             b_, t_, h_, w_, c_ = x.shape
-            if t_ >= max(off_s, 1):
+            fit = t_ >= max(off_s, 1)
+            # Path latch (advisor r4): see ResnetBlockTemporal — the parity
+            # cache ('sprev') and the unfused caches ('tpad') must not mix
+            # mid-stream.
+            if fit and not first_chunk and not self.has_variable(
+                    "cache", "sprev"):
+                fit = False
+            if fit:
                 cache = self.variable(
                     "cache", "sprev",
                     lambda: jnp.zeros((b_, 1, h_, w_, c_), x.dtype))
@@ -485,6 +507,12 @@ class TimeUpsampleRes2x(nn.Module):
                                             self.first_pad_mode,
                                             allow_pallas=deterministic)
                 return y[:, 2:]
+        if (streaming and not first_chunk and not self.is_initializing()
+                and self.has_variable("cache", "sprev")):
+            raise ValueError(
+                "TimeUpsampleRes2x streaming path flip: the first chunk "
+                f"used the parity fast path but this chunk (shape {x.shape})"
+                " does not fit it; keep chunk shapes stream-invariant.")
 
         if (_PARITY_UPSAMPLE and self.interpolation_mode == "nearest"
                 and self.causal and not streaming

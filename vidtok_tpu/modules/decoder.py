@@ -190,34 +190,48 @@ class Decoder(nn.Module):
             # output correspond to the cached warmup taps and are
             # dropped. Exactly reproduces the unfused conv_out streaming
             # cache semantics (activated-input tails, offset-adjusted).
-            from ..ops.pallas.decoder_tail import decoder_tail_rgb
+            from ..ops.pallas.decoder_tail import decoder_tail_rgb, tail_fits
 
             off = out_off if use_cache_offset else 0
             b_, t_, h_, w_, c_ = h.shape
-            if t_ >= off:
+            p = self.variables["params"]
+            # fitness BEFORE creating the cache variable, so unfit shapes
+            # never leave a dead zero cache entry (advisor r4); latch the
+            # path across chunks like the other streaming fast paths.
+            fit = t_ >= off and tail_fits(
+                h_, w_, c_, p["conv_out"]["kernel"].shape[-1],
+                p["conv_out"]["kernel"].shape)
+            if fit and not first_chunk and not self.has_variable(
+                    "cache", "tail_h"):
+                fit = False
+            if fit:
                 cache = self.variable(
                     "cache", "tail_h",
                     lambda: jnp.zeros((b_, 2, h_, w_, c_), h.dtype))
                 front = (jnp.concatenate([h[:, :1]] * 2, axis=1)
                          if first_chunk else cache.value.astype(h.dtype))
                 h_ext = jnp.concatenate([front, h], axis=1)
-                p = self.variables["params"]
                 y = decoder_tail_rgb(h_ext, p["norm_out"],
                                      {"kernel": p["conv_out"]["kernel"],
                                       "bias": p["conv_out"]["bias"]},
                                      "replicate")
-                if y is not None:
-                    # unfused cache = activated full[L-off-2 : L-off] with
-                    # L = t+2; in raw ext indices that is [t-off, t-off+2)
-                    cache.value = h_ext[:, t_ - off: t_ - off + 2]
-                    y = y[:, 2:]
-                    if self.tanh_out:
-                        y = jnp.tanh(y)
-                    if self.variant == "causal":
-                        # v1.0 per-chunk warmup crop (same as the unfused
-                        # streaming exit below)
-                        y = y[:, self.time_downsample_factor - 1:]
-                    return y
+                # unfused cache = activated full[L-off-2 : L-off] with
+                # L = t+2; in raw ext indices that is [t-off, t-off+2)
+                cache.value = h_ext[:, t_ - off: t_ - off + 2]
+                y = y[:, 2:]
+                if self.tanh_out:
+                    y = jnp.tanh(y)
+                if self.variant == "causal":
+                    # v1.0 per-chunk warmup crop (same as the unfused
+                    # streaming exit below)
+                    y = y[:, self.time_downsample_factor - 1:]
+                return y
+        if (streaming and not first_chunk and not self.is_initializing()
+                and self.has_variable("cache", "tail_h")):
+            raise ValueError(
+                "Decoder streaming tail path flip: the first chunk used the "
+                f"fused tail kernel but this chunk (shape {h.shape}) does "
+                "not fit it; keep chunk shapes stream-invariant.")
 
         if (fused and deterministic and not streaming and not return_features
                 and causal and self.norm_type == "layernorm"

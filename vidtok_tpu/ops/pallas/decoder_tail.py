@@ -225,6 +225,23 @@ import os as _os
 _TAP_PACK = _os.environ.get("VIDTOK_TAIL_TAP_PACK", "1")
 
 
+def tail_fits(h, w, c, co, kernel_shape, row_tile: int = 8,
+              interpret=None) -> bool:
+    """Shape-fitness predicate for decoder_tail_rgb: True iff the kernel
+    will run (callers use this BEFORE creating streaming cache variables,
+    so an unfit shape never leaves a dead cache entry — advisor r4)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    r = row_tile
+    while h % r and r > 2:
+        r //= 2
+    if co > _PAD_CO or tuple(kernel_shape[:3]) != (3, 3, 3) or h % r or h < r:
+        return False
+    if not interpret and (w % 128 or c % 128):
+        return False
+    return True
+
+
 def decoder_tail_rgb(x, norm_params, conv_params, first_pad_mode,
                      *, eps: float = 1e-6, row_tile: int = 8,
                      interpret=None, pre_shift: bool = True,
@@ -248,13 +265,11 @@ def decoder_tail_rgb(x, norm_params, conv_params, first_pad_mode,
     b, t, h, w, c = x.shape
     km = conv_params["kernel"]
     co = km.shape[-1]
+    if not tail_fits(h, w, c, co, km.shape, row_tile, interpret):
+        return None
     r = row_tile
     while h % r and r > 2:
         r //= 2
-    if co > _PAD_CO or km.shape[:3] != (3, 3, 3) or h % r or h < r:
-        return None
-    if not interpret and (w % 128 or c % 128):
-        return None
     dt = x.dtype
 
     g = norm_params["scale"].astype(jnp.float32)

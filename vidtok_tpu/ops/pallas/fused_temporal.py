@@ -170,6 +170,38 @@ _KPACK = _os.environ.get("VIDTOK_TEMPORAL_KPACK", "0") == "1"
 _SPLIT = int(_os.environ.get("VIDTOK_TEMPORAL_SPLIT", "1"))
 
 
+def _fit_tile(t_eff, s, c):
+    """Shared VMEM-budgeted spatial tile selection for both the batch and
+    streaming kernels (single source of truth — ADVICE r4).
+
+    Tile default: sweep at serving shapes (bench_artifacts/probe_ttile.log):
+    t164_c128 6.09/6.02/7.27 ms and t82_c256 1.82/1.81/2.12 at tile
+    32/64/128 — 64 beats the old 128 default by ~20% at level 0.
+    VIDTOK_FUSE_TEMPORAL_TILE != 64 selects experimental VMEM-budgeted
+    scaling (tile_s*C constant).
+
+    Budget: the block is [1, t_eff, tile_s, c]; VMEM scales with t_eff, and
+    Mosaic kills the whole compile (relay HTTP 500) when the block's f32
+    working set blows the 16 MB scoped-VMEM limit. Hardware probe
+    (tools/probe_kernel_shapes.py, v5e): t*tile_s*c = 1,179,648 and 819,200
+    FAIL; 688,128 (84x64x128, the T=81 serving graph) passes. Shrink by
+    powers of two to stay inside the proven ceiling; VIDTOK_VMEM_LIMIT_MB
+    scales it via tuning.budget_scale(). Returns None when no aligned
+    in-budget tile exists (caller falls back to the unfused module path).
+    """
+    tile_s = max(32, min(_TILE_S * 128 // c, 512)) if _TILE_S != 64 else 64
+    budget = 84 * 64 * 128 * tuning.budget_scale()
+    while tile_s > 8 and t_eff * tile_s * c > budget:
+        tile_s //= 2
+    if t_eff * tile_s * c > budget:
+        return None  # extreme T: caller uses the XLA module path
+    while s % tile_s != 0 and tile_s > 8:
+        tile_s //= 2
+    # No aligned tile exists (e.g. odd H*W like 17x17=289): grid s//tile_s
+    # would leave the tail of the output uninitialized.
+    return tile_s if s % tile_s == 0 else None
+
+
 def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
                             tile_s: int = None, interpret: bool = None,
                             silu_fast: bool = None, kpack: bool = None,
@@ -183,40 +215,17 @@ def fused_temporal_resblock(x, params, first_pad_mode: str = "zero",
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, t, h, w, c = x.shape
-    if tile_s is None:
-        if _TILE_S != 64:
-            # experimental VMEM-budgeted scaling (tile_s*C constant)
-            tile_s = max(32, min(_TILE_S * 128 // c, 512))
-        else:
-            # tile sweep at serving shapes (bench_artifacts/
-            # probe_ttile.log): t164_c128 6.09/6.02/7.27 ms and t82_c256
-            # 1.82/1.81/2.12 at tile 32/64/128 — 64 beats the old 128
-            # default by ~20% at level 0 (the T=201 protocol's per-slot
-            # win over T=161 was exactly this VMEM-forced shrink).
-            tile_s = 64
-        # The block is [1, t, tile_s, c]: VMEM scales with t, and Mosaic
-        # kills the whole compile (relay HTTP 500) when the block's f32
-        # working set blows the 16 MB scoped-VMEM limit. Hardware probe
-        # (tools/probe_kernel_shapes.py, v5e): t*tile_s*c = 1,179,648
-        # (36x128x256 and 18x128x512) and 819,200 (100x64x128) FAIL;
-        # 688,128 (84x64x128 and 21x64x512, the T=81 serving graph)
-        # passes. Shrink by powers of two to stay inside the proven
-        # ceiling. T=17 flagship blocks (<= 655,360) are unaffected.
-        # VIDTOK_VMEM_LIMIT_MB raises Mosaic's limit via compiler_params
-        # (tuning.py); the proven budget scales with it.
-        budget = 84 * 64 * 128 * tuning.budget_scale()
-        while tile_s > 8 and t * tile_s * c > budget:
-            tile_s //= 2
-        if t * tile_s * c > budget:
-            return None  # extreme T: caller uses the XLA module path
     s = h * w
-    while s % tile_s != 0 and tile_s > 8:
-        tile_s //= 2
-    if s % tile_s != 0:
-        # No aligned tile exists (e.g. odd H*W like 17x17=289): grid
-        # s//tile_s would leave the tail of the output uninitialized.
-        # Caller falls back to the unfused module path.
-        return None
+    if tile_s is None:
+        tile_s = _fit_tile(t, s, c)
+        if tile_s is None:
+            return None
+    else:
+        # explicit probe tile: align to s only (budget is the probe's call)
+        while s % tile_s != 0 and tile_s > 8:
+            tile_s //= 2
+        if s % tile_s != 0:
+            return None
     xf = x.reshape(b, t, s, c)
     dtype = x.dtype
     k1 = params["conv1"]["kernel"].reshape(3, c, c).astype(dtype)
@@ -259,15 +268,7 @@ def stream_tile(t, s, c):
     """Aligned spatial tile for the streaming kernel's [1, t+2, tile, C]
     blocks (same hardware-proven VMEM budget as the batch kernel), or
     None when no tile fits — caller falls back to the unfused path."""
-    tile_s = max(32, min(_TILE_S * 128 // c, 512)) if _TILE_S != 64 else 64
-    budget = 84 * 64 * 128 * tuning.budget_scale()
-    while tile_s > 8 and (t + 2) * tile_s * c > budget:
-        tile_s //= 2
-    if (t + 2) * tile_s * c > budget:
-        return None
-    while s % tile_s != 0 and tile_s > 8:
-        tile_s //= 2
-    return tile_s if s % tile_s == 0 else None
+    return _fit_tile(t + 2, s, c)
 
 
 def fused_temporal_resblock_stream(x, params, c1, c2, *,

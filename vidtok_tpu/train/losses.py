@@ -73,18 +73,24 @@ def _fold_frames(x):
     return x.reshape((b * t,) + x.shape[2:])
 
 
-def _apply_disc(disc, d_vars, x, use_batch_stats, cfg: LossConfig):
+def _apply_disc(disc, d_vars, x, use_batch_stats, cfg: LossConfig,
+                compute_dtype=None):
     """Run the discriminator; 2d variant folds frames first.
 
     ``use_batch_stats=True`` mirrors torch train-mode BatchNorm (batch
     statistics; the reference keeps the discriminator in train mode for the
-    generator pass too). Returns (logits, updated_batch_stats | None)."""
+    generator pass too). ``compute_dtype`` casts the input for bf16-mixed
+    training (the caller casts d_vars); logits always return fp32 so the
+    GAN loss arithmetic is precision-stable. Returns
+    (logits, updated_batch_stats | None)."""
     inp = _fold_frames(x) if cfg.disc_type == "2d" else x
+    if compute_dtype is not None:
+        inp = inp.astype(compute_dtype)
     if use_batch_stats:
         out, updated = disc.apply(d_vars, inp, train=True,
                                   mutable=["batch_stats"])
-        return out, updated["batch_stats"]
-    return disc.apply(d_vars, inp, train=False), None
+        return out.astype(jnp.float32), updated["batch_stats"]
+    return disc.apply(d_vars, inp, train=False).astype(jnp.float32), None
 
 
 def hinge_d_loss(logits_real, logits_fake):
@@ -123,7 +129,7 @@ def perceptual_loss(lpips: LPIPS, lpips_params, x_frames, y_frames):
 def generator_loss(
     *, cfg: LossConfig, lpips: LPIPS, lpips_params, disc, disc_vars,
     last_layer_params, apply_last_layer, logvar, x, xrec, pre_features,
-    reg_log, global_step, split="train",
+    reg_log, global_step, split="train", compute_dtype=None,
 ):
     """Returns (loss, logs, new_batch_stats).
 
@@ -140,9 +146,16 @@ def generator_loss(
     reference reuses the main pass's graph for those grads)."""
     xf = _fold_frames(x)
     rf = _fold_frames(xrec)
-    rec = jnp.abs(xf - rf)
+
+    def _ploss(a, b):
+        """LPIPS in the compute dtype (VGG is conv-heavy), fp32 result."""
+        if compute_dtype is not None:
+            a, b = a.astype(compute_dtype), b.astype(compute_dtype)
+        return perceptual_loss(lpips, lpips_params, a, b).astype(jnp.float32)
+
+    rec = jnp.abs(xf.astype(jnp.float32) - rf.astype(jnp.float32))
     if cfg.perceptual_weight > 0:
-        p = perceptual_loss(lpips, lpips_params, xf, rf)
+        p = _ploss(xf, rf)
         rec = rec + cfg.perceptual_weight * p
         p_mean = jnp.mean(p)
     else:
@@ -152,7 +165,8 @@ def generator_loss(
     nll_loss = jnp.sum(nll) / nll.shape[0]
     weighted_nll = nll_loss
 
-    logits_fake, new_bs = _apply_disc(disc, disc_vars, xrec, True, cfg)
+    logits_fake, new_bs = _apply_disc(disc, disc_vars, xrec, True, cfg,
+                                      compute_dtype)
     if new_bs is not None:
         new_bs = jax.lax.stop_gradient(new_bs)
     if cfg.gen_loss_cross_entropy:
@@ -173,10 +187,9 @@ def generator_loss(
             if xr.shape[1] != x.shape[1]:
                 xr = xr[:, -x.shape[1]:]
             xrf = _fold_frames(xr)
-            r = jnp.abs(xf - xrf)
+            r = jnp.abs(xf.astype(jnp.float32) - xrf.astype(jnp.float32))
             if cfg.perceptual_weight > 0:
-                r = r + cfg.perceptual_weight * perceptual_loss(
-                    lpips, lpips_params, xf, xrf)
+                r = r + cfg.perceptual_weight * _ploss(xf, xrf)
             n = r / jnp.exp(logvar) + logvar
             return jnp.sum(n) / n.shape[0]
 
@@ -184,15 +197,16 @@ def generator_loss(
             xr = apply_last_layer(cop, pre_sg)
             if xr.shape[1] != x.shape[1]:
                 xr = xr[:, -x.shape[1]:]
-            lf, _ = _apply_disc(disc, disc_vars, xr, True, cfg)
+            lf, _ = _apply_disc(disc, disc_vars, xr, True, cfg, compute_dtype)
             if cfg.gen_loss_cross_entropy:
                 return non_saturate_gen_loss(lf)
             return -jnp.mean(lf)
 
         nll_grads = jax.grad(nll_of_k)(conv_out_params)["kernel"]
         g_grads = jax.grad(g_of_k)(conv_out_params)["kernel"]
-        d_weight = jnp.linalg.norm(nll_grads.reshape(-1)) / (
-            jnp.linalg.norm(g_grads.reshape(-1)) + 1e-4)
+        d_weight = jnp.linalg.norm(
+            nll_grads.astype(jnp.float32).reshape(-1)) / (
+            jnp.linalg.norm(g_grads.astype(jnp.float32).reshape(-1)) + 1e-4)
         d_weight = jnp.clip(d_weight, 0.0, 1e4)
         d_weight = jax.lax.stop_gradient(d_weight) * cfg.disc_weight
     else:
@@ -213,23 +227,25 @@ def generator_loss(
     rw = cfg.regularization_weights or {}
     for k, w in rw.items():
         if k in reg_log:
-            loss = loss + w * reg_log[k]
-            logs[f"{split}/{k}"] = reg_log[k]
+            loss = loss + w * reg_log[k].astype(jnp.float32)
+            logs[f"{split}/{k}"] = reg_log[k].astype(jnp.float32)
     logs[f"{split}/total_loss"] = loss
     return loss, logs, new_bs
 
 
 def discriminator_loss(
     *, cfg: LossConfig, disc, disc_vars, x, xrec, global_step,
-    lecam_ema_real, lecam_ema_fake, split="train",
+    lecam_ema_real, lecam_ema_fake, split="train", compute_dtype=None,
 ):
     """Returns (d_loss, logs, new_batch_stats, new_lecam_emas)."""
     x = jax.lax.stop_gradient(x)
     xrec = jax.lax.stop_gradient(xrec)
-    logits_real, bs1 = _apply_disc(disc, disc_vars, x, True, cfg)
+    logits_real, bs1 = _apply_disc(disc, disc_vars, x, True, cfg,
+                                   compute_dtype)
     if bs1 is not None:
         disc_vars = {**disc_vars, "batch_stats": bs1}
-    logits_fake, bs2 = _apply_disc(disc, disc_vars, xrec, True, cfg)
+    logits_fake, bs2 = _apply_disc(disc, disc_vars, xrec, True, cfg,
+                                   compute_dtype)
     new_bs = bs2 if bs2 is not None else disc_vars.get("batch_stats")
 
     lightning_step = global_step * cfg.step_scale

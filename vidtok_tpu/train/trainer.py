@@ -42,6 +42,12 @@ class VidTokTrainer:
         self.lr = float(model_cfg.get("base_learning_rate", 1e-5))
         tcfg = cfg.get("training", {}) or {}
         self.grad_clip = float(tcfg.get("grad_clip", 20.0))
+        # 'bf16-mixed' == the reference recipe (lightning trainer.precision,
+        # configs/*.yaml): fp32 master params + optimizer state, bf16
+        # forward/backward compute (norm/quantize stats stay fp32 inside the
+        # modules), fp32 loss arithmetic. 'fp32' (old default) is kept for
+        # goldens/tests.
+        self.precision = str(tcfg.get("precision", "fp32"))
         self.ema_decay = p.get("ema_decay")
         self.seed = seed
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -142,28 +148,51 @@ class VidTokTrainer:
         meta = self.meta
         opt_g, opt_d = self.opt_g, self.opt_d
         ema_decay = self.ema_decay
+        half = jnp.bfloat16 if self.precision.startswith("bf16") else None
+
+        def hcast(t):
+            """fp32 -> bf16 compute cast (identity in fp32 mode). Master
+            params stay fp32; grads flow back fp32 through the cast's VJP
+            — the standard JAX mixed-precision seam."""
+            if half is None:
+                return t
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(half)
+                if getattr(a, "dtype", None) == jnp.float32 else a, t)
+
+        def f32cast(t):
+            """bf16 -> fp32 for values stored in the donated train state
+            (buffer dtypes must be step-invariant)."""
+            if half is None or t is None:
+                return t
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if getattr(a, "dtype", None) == jnp.bfloat16 else a, t)
 
         def train_step(state: TrainState, x, lpips_params, rng):
             """x: [B, T, H, W, C] (sharded over 'data'); returns
             (new_state, logs)."""
             step = state.step
+            lpips_h = hcast(lpips_params)
 
             def g_loss_fn(params_g):
+                core_h = hcast(params_g["core"])
                 z, xrec, pre, reg_log = core.apply(
-                    {"params": params_g["core"]}, x,
+                    {"params": core_h}, x if half is None else x.astype(half),
                     n_steps=step, fix_encoder=meta.get("fix_encoder", False),
                     rngs={"sample": rng},
                     method=TokenizerCore.forward_train,
                 )
-                disc_vars = {"params": state.params_d,
-                             "batch_stats": state.batch_stats_d}
+                disc_vars = {"params": hcast(state.params_d),
+                             "batch_stats": hcast(state.batch_stats_d)}
                 loss, logs, bs_g = generator_loss(
-                    cfg=loss_cfg, lpips=lpips, lpips_params=lpips_params,
+                    cfg=loss_cfg, lpips=lpips, lpips_params=lpips_h,
                     disc=disc, disc_vars=disc_vars,
-                    last_layer_params=params_g["core"]["decoder"]["conv_out"],
+                    last_layer_params=core_h["decoder"]["conv_out"],
                     apply_last_layer=core.decoder.apply_conv_out,
                     logvar=params_g["logvar"], x=x, xrec=xrec,
                     pre_features=pre, reg_log=reg_log, global_step=step,
+                    compute_dtype=half,
                 )
                 return loss, (xrec, logs, bs_g)
 
@@ -177,14 +206,15 @@ class VidTokTrainer:
             def d_loss_fn(params_d):
                 # generator-pass BN running stats feed the disc step
                 # (reference train-mode ordering: fake_g -> real -> fake_d)
-                disc_vars = {"params": params_d,
-                             "batch_stats": bs_g if bs_g is not None
-                             else state.batch_stats_d}
+                disc_vars = {"params": hcast(params_d),
+                             "batch_stats": hcast(bs_g) if bs_g is not None
+                             else hcast(state.batch_stats_d)}
                 d_loss, logs_d, new_bs, lecam = discriminator_loss(
                     cfg=loss_cfg, disc=disc, disc_vars=disc_vars, x=x,
                     xrec=xrec, global_step=step,
                     lecam_ema_real=state.lecam_ema_real,
                     lecam_ema_fake=state.lecam_ema_fake,
+                    compute_dtype=half,
                 )
                 return d_loss, (logs_d, new_bs, lecam)
 
@@ -204,7 +234,8 @@ class VidTokTrainer:
                 step=step + 1,
                 params_g=new_params_g,
                 params_d=new_params_d,
-                batch_stats_d=new_bs if new_bs is not None else state.batch_stats_d,
+                batch_stats_d=(f32cast(new_bs) if new_bs is not None
+                               else state.batch_stats_d),
                 opt_state_g=new_opt_g,
                 opt_state_d=new_opt_d,
                 lecam_ema_real=lecam[0],
