@@ -90,6 +90,49 @@ def test_streaming_parity_upsample(off, t0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_streaming_path_latch():
+    """Advisor r4 (medium): the fused/unfused streaming decision must not
+    flip mid-stream (the two paths keep caches under different names; a
+    flip would silently zero-init the other path's cache). (a) If the
+    FIRST chunk ran unfused, later fused-eligible chunks must latch onto
+    the unfused path and match the pure-unfused stream exactly. (b) The
+    reverse flip (first chunk fused, later chunk not) raises instead of
+    silently corrupting."""
+    rng = np.random.RandomState(3)
+    B, H, W, C = 1, 8, 16, 128
+    blk = ResnetBlockTemporal(out_channels=C, causal=True,
+                              norm_type="layernorm",
+                              first_pad_mode="replicate", cache_offset=2)
+    chunks = [jnp.asarray(rng.randn(B, 4, H, W, C).astype(np.float32) * 0.5)
+              for _ in range(3)]
+    params = _rand_tree(blk.init(jax.random.PRNGKey(0), chunks[0])["params"],
+                        rng)
+    params["norm1"]["scale"] = 1 + jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+    params["norm2"]["scale"] = 1 + jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+
+    def run(fused_per_chunk):
+        outs, cache = [], {}
+        for i, (xc, fu) in enumerate(zip(chunks, fused_per_chunk)):
+            var = {"params": params}
+            if i > 0:
+                var["cache"] = cache
+            y, vs = blk.apply(var, xc, streaming=True, first_chunk=(i == 0),
+                              use_cache_offset=True, fused=fu,
+                              mutable=["cache"])
+            cache = vs["cache"]
+            outs.append(y)
+        return jnp.concatenate(outs, axis=1)
+
+    # (a) first chunk unfused -> later fused-eligible chunks stay unfused
+    a = run([False, False, False])
+    b = run([False, True, True])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # (b) first chunk fused, then a non-fused chunk -> loud error
+    with pytest.raises(ValueError, match="path flip"):
+        run([True, False, False])
+
+
 def test_streaming_decoder_tail():
     """Streaming decoder tail (2 cached raw frames + batch kernel in
     replicate mode) == the unfused streaming norm_out+silu+conv_out exit,

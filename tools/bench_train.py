@@ -277,9 +277,15 @@ def main():
         run_vidtwin(b=int(cells[0]) if cells else 2)
         return
 
+    # trace the first cell inside the same process (the relay recompiles
+    # per process, so a separate trace run would pay the compile again)
+    trace_first = os.environ.get("VIDTOK_TRAIN_TRACE", "1") == "1"
     results = []
-    for spec in (cells or DEFAULT_CELLS):
-        results.append(run_cell(spec, t=t))
+    for i, spec in enumerate(cells or DEFAULT_CELLS):
+        results.append(run_cell(
+            spec, t=t,
+            do_trace="/tmp/vidtok_prof_train" if trace_first and i == 0
+            else None))
     print("\n== matrix summary ==")
     for r in results:
         print(json.dumps(r))

@@ -454,6 +454,9 @@ class TimeUpsampleRes2x(nn.Module):
     first_pad_mode: str = "zero"
     cache_offset: int = 0
     mix_factor_init: float = 2.0
+    # False when the module is wrapped in nn.remat (the remat'd call path
+    # uses default kwargs, and the Pallas parity tail has no VJP)
+    pallas_ok: bool = True
 
     @nn.compact
     def __call__(self, x, *, streaming: bool = False, first_chunk: bool = True,
@@ -525,9 +528,9 @@ class TimeUpsampleRes2x(nn.Module):
             # The Pallas tail has no VJP — inference (deterministic) only.
             k = self.variables["params"]["conv"]["kernel"]
             b = self.variables["params"]["conv"]["bias"]
-            return _parity_up2x_conv_blend(x, k, b, alpha,
-                                           self.first_pad_mode,
-                                           allow_pallas=deterministic)
+            return _parity_up2x_conv_blend(
+                x, k, b, alpha, self.first_pad_mode,
+                allow_pallas=deterministic and self.pallas_ok)
 
         if self.interpolation_mode == "nearest":
             x = temporal_nearest_up2x(x)

@@ -117,6 +117,26 @@ class Decoder(nn.Module):
             return dict(streaming=streaming, first_chunk=first_chunk,
                         use_cache_offset=use_cache_offset, fused=fused)
 
+        remat_on = self.use_checkpoint and not streaming
+        if remat_on:
+            assert self.dropout == 0.0, "use_checkpoint requires dropout=0"
+        sp_cls = nn.remat(ResnetBlockSpatial) if remat_on else ResnetBlockSpatial
+        tm_cls = nn.remat(ResnetBlockTemporal) if remat_on else ResnetBlockTemporal
+        # remat the mid/attn/upsample stages too: the 256p train-step HBM
+        # dump put 0.5-1.3 GB of temporaries inside the (previously
+        # unrematted) upsample blocks alone. nn.remat is name-transparent,
+        # so checkpoints/goldens are unaffected; remat'd calls use default
+        # kwargs (non-streaming, deterministic — dropout is asserted 0).
+        mid_cls = nn.remat(ResnetBlock3D) if remat_on else ResnetBlock3D
+        attn_cls = nn.remat(AttnBlock) if remat_on else AttnBlock
+        sup_cls = nn.remat(SpatialUpsample) if remat_on else SpatialUpsample
+        tup_cls = nn.remat(TimeUpsampleRes2x) if remat_on else TimeUpsampleRes2x
+
+        def call(mod, h, off):
+            if remat_on:
+                return mod(h)
+            return mod(h, deterministic=deterministic, **stream(off))
+
         block_in = self.ch * self.ch_mult[n - 1]
         if causal:
             h = CausalConv3d(block_in, (3, 3, 3), first_pad_mode=self.first_pad_mode,
@@ -124,30 +144,19 @@ class Decoder(nn.Module):
         else:
             h = Conv3d(block_in, (3, 3, 3), name="conv_in")(z)
 
-        h = ResnetBlock3D(
+        h = call(mid_cls(
             block_in, causal=causal, norm_type=self.norm_type, dropout=self.dropout,
             first_pad_mode=self.first_pad_mode, cache_offset=mid_off,
-            name="mid_block_1",
-        )(h, deterministic=deterministic, **stream(mid_off))
-        h = AttnBlock(norm_type=self.norm_type, causal=causal, name="mid_attn_1")(h)
-        h = ResnetBlock3D(
+            name="mid_block_1"), h, mid_off)
+        h = attn_cls(norm_type=self.norm_type, causal=causal,
+                     name="mid_attn_1")(h)
+        h = call(mid_cls(
             block_in, causal=causal, norm_type=self.norm_type, dropout=self.dropout,
             first_pad_mode=self.first_pad_mode, cache_offset=mid_off,
-            name="mid_block_2",
-        )(h, deterministic=deterministic, **stream(mid_off))
+            name="mid_block_2"), h, mid_off)
 
         # v1.1 trilinear upsample: num_temp_upsample doubles per temporal
         # upsample encountered in decode order (model_3dcausal_v1_1.py:856-881)
-        remat_on = self.use_checkpoint and not streaming
-        if remat_on:
-            assert self.dropout == 0.0, "use_checkpoint requires dropout=0"
-        sp_cls = nn.remat(ResnetBlockSpatial) if remat_on else ResnetBlockSpatial
-        tm_cls = nn.remat(ResnetBlockTemporal) if remat_on else ResnetBlockTemporal
-
-        def call(mod, h, off):
-            if remat_on:
-                return mod(h)
-            return mod(h, deterministic=deterministic, **stream(off))
 
         ntu = 1
         for i_level in reversed(range(n)):
@@ -165,19 +174,22 @@ class Decoder(nn.Module):
                     cache_offset=off,
                     name=tm_name), h, off)
             if i_level in spatial_us:
-                h = SpatialUpsample(name=f"up_{i_level}_upsample")(
-                    h, fused=fused, deterministic=deterministic)
+                if remat_on:
+                    h = sup_cls(name=f"up_{i_level}_upsample")(h)
+                else:
+                    h = SpatialUpsample(name=f"up_{i_level}_upsample")(
+                        h, fused=fused, deterministic=deterministic)
                 if i_level in tempo_us:
-                    h = TimeUpsampleRes2x(
+                    tup = tup_cls(
                         h.shape[-1], causal=causal,
                         interpolation_mode=self.interpolation_mode
                         if self.variant == "causal_v1_1" else "nearest",
                         num_temp_upsample=ntu,
                         first_pad_mode=self.first_pad_mode,
                         cache_offset=up_offs[i_level],
-                        name=f"up_temporal_{i_level}_upsample",
-                    )(h, deterministic=deterministic,
-                      **stream(up_offs[i_level]))
+                        pallas_ok=not remat_on,
+                        name=f"up_temporal_{i_level}_upsample")
+                    h = call(tup, h, up_offs[i_level])
                     ntu *= 2
 
         if (fused and deterministic and streaming and not return_features

@@ -151,25 +151,32 @@ class Encoder(nn.Module):
                     dropout=self.dropout, first_pad_mode=self.first_pad_mode,
                     name=tm_name), h)
             if i_level in spatial_ds:
-                h = SpatialDownsample(name=f"down_{i_level}_downsample")(h)
+                sd_cls = (nn.remat(SpatialDownsample) if remat_on
+                          else SpatialDownsample)
+                h = sd_cls(name=f"down_{i_level}_downsample")(h)
                 if i_level in tempo_ds:
-                    h = TimeDownsampleRes2x(
+                    td = (nn.remat(TimeDownsampleRes2x) if remat_on
+                          else TimeDownsampleRes2x)(
                         h.shape[-1], causal=causal,
                         first_pad_mode=self.first_pad_mode,
-                        name=f"down_temporal_{i_level}_downsample",
-                    )(h, **stream)
+                        name=f"down_temporal_{i_level}_downsample")
+                    h = td(h) if remat_on else td(h, **stream)
 
-        h = ResnetBlock3D(
+        # mid/attn stages remat'd too (decoder.py rationale: the 256p
+        # train-step HBM dump showed the unrematted aux stages holding
+        # GB-scale temporaries)
+        mid_cls = nn.remat(ResnetBlock3D) if remat_on else ResnetBlock3D
+        attn_cls = nn.remat(AttnBlock) if remat_on else AttnBlock
+        h = call(mid_cls(
             h.shape[-1], causal=causal, norm_type=self.norm_type,
             dropout=self.dropout, first_pad_mode=self.first_pad_mode,
-            name="mid_block_1",
-        )(h, deterministic=deterministic, **stream)
-        h = AttnBlock(norm_type=self.norm_type, causal=causal, name="mid_attn_1")(h)
-        h = ResnetBlock3D(
+            name="mid_block_1"), h)
+        h = attn_cls(norm_type=self.norm_type, causal=causal,
+                     name="mid_attn_1")(h)
+        h = call(mid_cls(
             h.shape[-1], causal=causal, norm_type=self.norm_type,
             dropout=self.dropout, first_pad_mode=self.first_pad_mode,
-            name="mid_block_2",
-        )(h, deterministic=deterministic, **stream)
+            name="mid_block_2"), h)
 
         # Causal models fold T into batch before norm_out (per-frame stats,
         # model_3dcausal.py:664-668); the non-causal model normalizes the full

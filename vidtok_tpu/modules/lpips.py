@@ -60,23 +60,30 @@ class LPIPS(nn.Module):
 
     @nn.compact
     def __call__(self, x, y):
+        # constants in the input dtype: f32 constants would silently
+        # promote the whole VGG trunk to f32 under bf16-mixed training
+        # (measured 768 MB/tap-activation in the train-step HBM dump)
         net = VGG16Features(name="vgg")
-        shift = jnp.asarray(_SHIFT)
-        scale = jnp.asarray(_SCALE)
+        shift = jnp.asarray(_SHIFT, x.dtype)
+        scale = jnp.asarray(_SCALE, x.dtype)
         xs = (x - shift) / scale
         ys = (y - shift) / scale
         fx = net(xs)
         fy = net(ys)
         val = 0.0
         for k in range(len(_CHNS)):
-            nx = fx[k] / (jnp.sqrt(jnp.sum(jnp.square(fx[k]), axis=-1,
-                                           keepdims=True)) + 1e-10)
-            ny = fy[k] / (jnp.sqrt(jnp.sum(jnp.square(fy[k]), axis=-1,
-                                           keepdims=True)) + 1e-10)
-            diff = jnp.square(nx - ny)
+            # tap normalization stats in f32 (fused converts, no f32
+            # residency), activations stay in the compute dtype
+            def _unit(f):
+                s = jnp.sqrt(jnp.sum(jnp.square(f.astype(jnp.float32)),
+                                     axis=-1, keepdims=True))
+                return (f.astype(jnp.float32) / (s + 1e-10)).astype(f.dtype)
+
+            diff = jnp.square(_unit(fx[k]) - _unit(fy[k]))
             lin = nn.Conv(1, (1, 1), use_bias=False, name=f"lin{k}")(diff)
-            val = val + jnp.mean(lin, axis=(1, 2), keepdims=True)
-        return val  # [N, 1, 1, 1]
+            val = val + jnp.mean(lin.astype(jnp.float32), axis=(1, 2),
+                                 keepdims=True)
+        return val  # [N, 1, 1, 1] f32
 
 
 def load_lpips_params(path: str = DEFAULT_WEIGHTS):

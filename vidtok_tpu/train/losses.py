@@ -47,6 +47,10 @@ class LossConfig(NamedTuple):
     # reference global_step counts both optimizer steps per batch (Lightning
     # manual optimization); our `step` counts batches -> gate on 2*step.
     step_scale: int = 2
+    # rematerialize the VGG trunk in the backward pass (exact math, frees
+    # the LPIPS tap activations — the largest single block of train-step
+    # HBM at 256p). Off only for ablation.
+    lpips_remat: bool = True
 
     @classmethod
     def from_dict(cls, d: dict) -> "LossConfig":
@@ -148,10 +152,15 @@ def generator_loss(
     rf = _fold_frames(xrec)
 
     def _ploss(a, b):
-        """LPIPS in the compute dtype (VGG is conv-heavy), fp32 result."""
+        """LPIPS in the compute dtype (VGG is conv-heavy), fp32 result.
+        ``lpips_remat`` recomputes the trunk in the backward pass instead
+        of keeping five tap activations live per frame."""
         if compute_dtype is not None:
             a, b = a.astype(compute_dtype), b.astype(compute_dtype)
-        return perceptual_loss(lpips, lpips_params, a, b).astype(jnp.float32)
+        fn = lambda u, v: perceptual_loss(lpips, lpips_params, u, v)
+        if cfg.lpips_remat:
+            fn = jax.checkpoint(fn)
+        return fn(a, b).astype(jnp.float32)
 
     rec = jnp.abs(xf.astype(jnp.float32) - rf.astype(jnp.float32))
     if cfg.perceptual_weight > 0:
