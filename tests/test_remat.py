@@ -67,8 +67,13 @@ def test_remat_fwd_and_grad_exact():
     flat, _ = jax.tree_util.tree_flatten(g)
     flat_r, _ = jax.tree_util.tree_flatten(g_r)
     assert any(float(jnp.max(jnp.abs(a))) > 0 for a in flat)
+    # grads: tight allclose, not bit-equality — remat of the aux stages
+    # (mid/attn/up/downsample, round 5) reorders XLA reduction schedules
+    # by a few ulp (measured max rel diff 2.7e-6 on CPU); bit-exactness
+    # is not part of jax.checkpoint's contract
     for a, b in zip(flat, flat_r):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-4)
 
 
 def test_remat_streaming_bypass():

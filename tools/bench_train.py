@@ -54,16 +54,18 @@ def parse_cell(spec):
                 spec=spec)
 
 
-# Ordered: headline first (shipped flagship recipe cell), then batch
-# scaling, remat, 3d disc, stage-1 128p, fp32 control.
+# Pass-2 matrix (after the round-5 memory fixes: bf16 LPIPS + LPIPS remat
+# + aux-stage remat). Pass-1 pre-fix HBM needs are in BENCH_NOTES (all 7
+# cells OOM'd; b1_r0 needed 25.76G of 15.75G).
 DEFAULT_CELLS = [
-    "b1_256_r0_2d_bf16",
-    "b2_256_r0_2d_bf16",   # reference per-GPU batch (16 global / 8 GPUs)
-    "b4_256_r0_2d_bf16",
-    "b2_256_r1_2d_bf16",   # remat cost at the recipe batch
-    "b1_256_r0_3d_bf16",   # 3d discriminator variant
-    "b8_128_r0_2d_bf16",   # stage-1 shape (two-stage recipe)
-    "b1_256_r0_2d_fp32",   # mixed-precision speedup control
+    "b1_256_r1_2d_bf16",   # headline shape, full remat (+trace)
+    "b2_256_r1_2d_bf16",   # reference per-GPU batch (16 global / 8 GPUs)
+    "b4_256_r1_2d_bf16",
+    "b1_256_r1_3d_bf16",   # 3d discriminator variant
+    "b8_128_r1_2d_bf16",   # stage-1 shape (two-stage recipe)
+    "b8_128_r0_2d_bf16",   # did the LPIPS fixes alone fit 128p unrematted?
+    "b1_256_r1_2d_fp32",   # mixed-precision speedup control
+    "b1_256_r0_2d_bf16",   # LPIPS fixes alone at the headline shape
 ]
 
 

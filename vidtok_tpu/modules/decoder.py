@@ -129,8 +129,14 @@ class Decoder(nn.Module):
         # kwargs (non-streaming, deterministic — dropout is asserted 0).
         mid_cls = nn.remat(ResnetBlock3D) if remat_on else ResnetBlock3D
         attn_cls = nn.remat(AttnBlock) if remat_on else AttnBlock
-        sup_cls = nn.remat(SpatialUpsample) if remat_on else SpatialUpsample
-        tup_cls = nn.remat(TimeUpsampleRes2x) if remat_on else TimeUpsampleRes2x
+        # upsample stages: remat only on the TRAINING forward (remat'd
+        # calls can't thread deterministic, and inference must stay
+        # byte-identical to the unrematted model — incl. the Pallas
+        # parity tail, which has no VJP and is disabled under remat)
+        aux_remat = remat_on and not deterministic
+        sup_cls = nn.remat(SpatialUpsample) if aux_remat else SpatialUpsample
+        tup_cls = (nn.remat(TimeUpsampleRes2x) if aux_remat
+                   else TimeUpsampleRes2x)
 
         def call(mod, h, off):
             if remat_on:
@@ -174,7 +180,7 @@ class Decoder(nn.Module):
                     cache_offset=off,
                     name=tm_name), h, off)
             if i_level in spatial_us:
-                if remat_on:
+                if aux_remat:
                     h = sup_cls(name=f"up_{i_level}_upsample")(h)
                 else:
                     h = SpatialUpsample(name=f"up_{i_level}_upsample")(
@@ -187,9 +193,13 @@ class Decoder(nn.Module):
                         num_temp_upsample=ntu,
                         first_pad_mode=self.first_pad_mode,
                         cache_offset=up_offs[i_level],
-                        pallas_ok=not remat_on,
+                        pallas_ok=not aux_remat,
                         name=f"up_temporal_{i_level}_upsample")
-                    h = call(tup, h, up_offs[i_level])
+                    if aux_remat:
+                        h = tup(h)
+                    else:
+                        h = tup(h, deterministic=deterministic,
+                                **stream(up_offs[i_level]))
                     ntu *= 2
 
         if (fused and deterministic and streaming and not return_features

@@ -33,6 +33,17 @@ class VidTokTrainer:
         cfg = load_config(config)
         self.cfg = cfg
         model_cfg = cfg.get("model", cfg)
+        tcfg0 = cfg.get("training", {}) or {}
+        if tcfg0.get("use_checkpoint") is not None:
+            # training-section override for activation remat (the 16 GB v5e
+            # needs it at flagship 256p — BENCH_NOTES round-5 HBM matrix —
+            # while the reference's 80 GB A100s never did; this keeps the
+            # model section byte-compatible with the reference corpus)
+            for side in ("encoder_config", "decoder_config"):
+                side_cfg = model_cfg.get("params", {}).get(side)
+                if side_cfg is not None:
+                    side_cfg.setdefault("params", {})["use_checkpoint"] = (
+                        bool(tcfg0["use_checkpoint"]))
         self.core, self.meta = build_core_from_config(model_cfg)
         p = model_cfg.get("params", {})
         self.loss_cfg = LossConfig.from_dict(
