@@ -201,6 +201,28 @@ def test_loss_stack_value_parity(case):
                                        rtol=3e-3)
 
 
+def test_bf16_mixed_step():
+    """training.precision=bf16-mixed: master params/opt state stay fp32,
+    losses stay finite, and the donated state's dtypes are step-invariant
+    (a bf16 leak into batch_stats would break buffer donation)."""
+    cfg = {"model": TINY_CFG["model"],
+           "training": {"precision": "bf16-mixed"}}
+    tr = VidTokTrainer(cfg)
+    assert tr.precision == "bf16-mixed"
+    # batch divisible by the 8-device test mesh (shard_batch)
+    x = np.random.RandomState(0).randn(8, 5, 32, 32, 3).astype("float32") * .3
+    state = tr.shard_state(tr.init_state(x))
+    for i in range(2):
+        state, logs = tr.fit_step(state, x, jax.random.PRNGKey(i))
+    for k in ("train/aeloss", "train/discloss", "train/d_weight",
+              "train/p_loss"):
+        assert np.isfinite(float(logs[k])), k
+    dtypes = {str(l.dtype) for l in jax.tree_util.tree_leaves(
+        (state.params_g, state.params_d, state.opt_state_g,
+         state.batch_stats_d))}
+    assert "bfloat16" not in dtypes, dtypes
+
+
 def test_disc_warmup_gating():
     cfg = {"model": {**TINY_CFG["model"],
                      "params": {**TINY_CFG["model"]["params"],

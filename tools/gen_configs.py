@@ -119,6 +119,10 @@ def make_config(kind, causality, vcr, chn_or_codes, v1_1=False):
             precision="bf16-mixed", max_steps=50000, val_check_interval=2000,
             checkpoint_every=5000, log_images_every=5000, grad_clip=20.0,
             seed=23,
+            # activation remat: required to fit the flagship 17x256x256 GAN
+            # step on one 16 GB v5e (needs 25.6 G unrematted — BENCH_NOTES
+            # round-5 HBM matrix); training-only, never touches inference
+            use_checkpoint=True,
         ),
     )
     return cfg
