@@ -211,6 +211,134 @@ def capture_trace(compiled, state, x, tr, rng, trace_dir):
     print("wrote /tmp/breakdown_train.json", flush=True)
 
 
+def _smooth_batch(cell, t, seed=99):
+    """Video-like synthetic clip batch (low-frequency base + drift +
+    mild noise), same recipe as tools/parity_psnr.py smooth_clip — gives
+    the recon/LPIPS losses real structure to descend on."""
+    import numpy as np
+
+    hw = cell["hw"]
+    rs = np.random.RandomState(seed)
+    base = rs.randn(cell["b"], 1, hw // 8, hw // 8, 3)
+    drift = rs.randn(cell["b"], t, hw // 8, hw // 8, 3) * 0.15
+    lo = np.cumsum(drift, axis=1) * 0.3 + base
+    # bilinear-ish upsample by 8 via repeat (smoothness comes from the
+    # low-res generator; exact interpolation quality is irrelevant)
+    up = lo.repeat(8, axis=2).repeat(8, axis=3)
+    x = np.tanh(up + rs.randn(*up.shape) * 0.05)
+    return x.astype(np.float32)
+
+
+def run_steps(spec="b1_256_r1_2d_bf16", t=REF_FRAMES, n=200, log_every=10):
+    """A REAL training run at the flagship shape on TPU: n optimizer steps
+    on a fixed smooth batch (overfit protocol) with the full GAN step
+    compiled once. Descending rec_loss = the training path works
+    end-to-end at scale, not just for one timed step."""
+    import jax
+
+    cell = parse_cell(spec)
+    tr = build_trainer(cell)
+    # overfit probe LR (flagship recipe lr 1e-5 barely moves in 200 steps;
+    # this demonstrates the optimization path, not the recipe)
+    lr = float(os.environ.get("VIDTOK_STEPS_LR", "1e-4"))
+    tr.set_lr(lr)
+    print(f"[steps] lr={lr}", flush=True)
+    try:
+        compiled, state, x, rng = compile_cell(tr, cell, t)
+    except Exception as e:
+        print(json.dumps({"steps": spec,
+                          "status": f"COMPILE_FAIL: {e}"}), flush=True)
+        return
+    import jax.numpy as jnp
+
+    x = jnp.asarray(_smooth_batch(cell, t))
+    t0 = time.perf_counter()
+    first = last = None
+    for i in range(n):
+        rng2 = jax.random.fold_in(rng, i)
+        state, logs = compiled(state, x, tr.lpips_params, rng2)
+        if i % log_every == 0 or i == n - 1:
+            rec = float(logs["train/rec_loss"])
+            tot = float(logs["train/total_loss"])
+            kl = float(logs.get("train/kl_loss", 0.0))
+            if first is None:
+                first = rec
+            last = rec
+            print(f"step {i:4d}  rec_loss {rec:.4f}  total {tot:.1f}  "
+                  f"kl {kl:.1f}  ({(time.perf_counter()-t0):.0f}s)",
+                  flush=True)
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "steps_run": n, "cell": spec, "wall_s": round(wall, 1),
+        "ms_per_step_incl_logging": round(wall / n * 1e3, 1),
+        "rec_loss_first": round(first, 4), "rec_loss_last": round(last, 4),
+        "descending": last < first * 0.9}), flush=True)
+
+
+def run_pipeline(spec="b1_256_r1_2d_bf16", t=REF_FRAMES, n=30):
+    """Train steps fed by the REAL input pipeline (native/OpenCV video
+    decode -> VidTokDataset fps-resample -> ThreadedLoader workers ->
+    device_prefetch), timing ms/step INCLUDING input — closes the
+    'synthetic batches' caveat on the training ledger."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vidtok_tpu.data.dataset import VidTokDataset
+    from vidtok_tpu.data.pipeline import ThreadedLoader, device_prefetch
+    from vidtok_tpu.data.video_reader import write_video
+
+    cell = parse_cell(spec)
+    hw = cell["hw"]
+    d = "/tmp/vidtok_train_pipe"
+    os.makedirs(d, exist_ok=True)
+    rs = np.random.RandomState(0)
+    names = []
+    for i in range(4):
+        lo = (np.cumsum(rs.randn(33, hw // 8, hw // 8, 3) * 0.15, axis=0)
+              + rs.randn(1, hw // 8, hw // 8, 3))
+        up = np.tanh(lo.repeat(8, axis=1).repeat(8, axis=2) * 0.3)
+        frames = ((up * 0.5 + 0.5) * 255).astype(np.uint8)
+        write_video(os.path.join(d, f"clip{i}.mp4"), frames, fps=30)
+        names.append(f"clip{i}.mp4")
+    with open(os.path.join(d, "meta.csv"), "w") as f:
+        f.write("videos\n" + "\n".join(names) + "\n")
+
+    ds = VidTokDataset(
+        data_dir=d, meta_path=os.path.join(d, "meta.csv"),
+        video_params=dict(input_height=hw, input_width=hw,
+                          sample_num_frames=t, sample_fps=30), seed=0)
+    loader = ThreadedLoader(ds, batch_size=cell["b"], shuffle=True,
+                            num_workers=2,
+                            epoch_len=(n + 4) * cell["b"])
+
+    tr = build_trainer(cell)
+    compiled, state, x, rng = compile_cell(tr, cell, t)
+    times = []
+    i = 0
+    t_prev = time.perf_counter()
+    def _to_device(b):
+        return {"jpg": jnp.asarray(b["jpg"])}
+
+    for batch in device_prefetch(loader.epoch(0), _to_device, depth=2):
+        rng2 = jax.random.fold_in(rng, i)
+        state, logs = compiled(state, batch["jpg"], tr.lpips_params, rng2)
+        val = float(logs["train/aeloss"])  # sync
+        now = time.perf_counter()
+        times.append(now - t_prev)
+        t_prev = now
+        i += 1
+        if i >= n:
+            break
+    times = sorted(times[2:])  # drop warmup steps
+    med = times[len(times) // 2]
+    print(json.dumps({
+        "pipeline_steps": i, "cell": spec,
+        "ms_per_step_incl_input": round(med * 1e3, 1),
+        "frames_trained_per_s_incl_input": round(cell["b"] * t / med, 2),
+        "aeloss": round(val, 4)}), flush=True)
+
+
 def run_vidtwin(b=2, t=16, hw=224, n_steps=6):
     """VidTwin GAN train step at the shipped config's shape (VERDICT r4
     weak #7; reference vidtwin_ae.py:86-137 is the trainer being timed)."""
@@ -278,6 +406,14 @@ def main():
         return
     if mode == "vidtwin":
         run_vidtwin(b=int(cells[0]) if cells else 2)
+        return
+    if mode == "steps":
+        run_steps(cells[0] if cells else "b1_256_r1_2d_bf16", t=t,
+                  n=int(cells[1]) if len(cells) > 1 else 200)
+        return
+    if mode == "pipeline":
+        run_pipeline(cells[0] if cells else "b1_256_r1_2d_bf16", t=t,
+                     n=int(cells[1]) if len(cells) > 1 else 30)
         return
 
     # trace the first cell inside the same process (the relay recompiles
