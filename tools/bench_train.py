@@ -35,7 +35,9 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-CFG_PATH = os.path.join(ROOT, "configs", "vidtok_kl_causal_488_16chn.yaml")
+CFG_PATH = os.environ.get(
+    "VIDTOK_TRAIN_CFG",
+    os.path.join(ROOT, "configs", "vidtok_kl_causal_488_16chn.yaml"))
 
 # Reference recipe constants (reference README.md:250-251,296,315)
 REF_SINGLE_GPU_HOURS = 3072.0      # 50k steps, global batch 16, 256x256
