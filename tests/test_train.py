@@ -223,6 +223,17 @@ def test_bf16_mixed_step():
     assert "bfloat16" not in dtypes, dtypes
 
 
+def test_training_use_checkpoint_override():
+    """training.use_checkpoint flips encoder+decoder remat without touching
+    the reference-compatible model section (the shipped v5e recipe)."""
+    cfg = {"model": TINY_CFG["model"],
+           "training": {"use_checkpoint": True}}
+    tr = VidTokTrainer(cfg)
+    assert tr.core.encoder.use_checkpoint and tr.core.decoder.use_checkpoint
+    tr2 = VidTokTrainer({"model": TINY_CFG["model"]})
+    assert not tr2.core.encoder.use_checkpoint
+
+
 def test_disc_warmup_gating():
     cfg = {"model": {**TINY_CFG["model"],
                      "params": {**TINY_CFG["model"]["params"],
