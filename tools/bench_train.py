@@ -83,6 +83,10 @@ def build_trainer(cell):
     enc_r, dec_r = cell["remat"]
     p["encoder_config"]["params"]["use_checkpoint"] = bool(enc_r)
     p["decoder_config"]["params"]["use_checkpoint"] = bool(dec_r)
+    if os.environ.get("VIDTOK_TRAIN_FIXENC", "0") == "1":
+        # stage-2 of the two-stage recipe: decoder-only fine-tune
+        # (reference README.md:296-315)
+        p["encoder_config"]["params"]["fix_encoder"] = True
     p["loss_config"]["params"]["disc_type"] = cell["disc"]
     cfg.setdefault("training", {})["precision"] = cell["precision"]
     cfg.pop("data", None)

@@ -187,14 +187,23 @@ def generator_loss(
     disc_factor = adopt_weight(cfg.disc_factor, lightning_step, cfg.disc_start)
 
     # ---- adaptive weight (reference losses.py:137-148) -------------------
+    # Chain rule split: d loss/d W_conv_out = conv_vjp(d loss/d xrec).
+    # Taking the xrec-cotangent first lets XLA CSE the loss FORWARD passes
+    # with the main nll/g_loss computation above (same expressions on the
+    # same xrec), so the adaptive weight costs one LPIPS vjp + one disc
+    # vjp + one (linear) conv_out vjp — the same work torch's
+    # retain_graph backward does (the previous formulation re-ran the
+    # LPIPS and disc forwards from pre_features).
     if cfg.disc_factor > 0.0:
         pre_sg = jax.lax.stop_gradient(pre_features)
-        conv_out_params = last_layer_params
 
-        def nll_of_k(cop):
+        def apply_k(cop):
             xr = apply_last_layer(cop, pre_sg)
             if xr.shape[1] != x.shape[1]:
                 xr = xr[:, -x.shape[1]:]
+            return xr
+
+        def nll_of_xr(xr):
             xrf = _fold_frames(xr)
             r = jnp.abs(xf.astype(jnp.float32) - xrf.astype(jnp.float32))
             if cfg.perceptual_weight > 0:
@@ -202,17 +211,18 @@ def generator_loss(
             n = r / jnp.exp(logvar) + logvar
             return jnp.sum(n) / n.shape[0]
 
-        def g_of_k(cop):
-            xr = apply_last_layer(cop, pre_sg)
-            if xr.shape[1] != x.shape[1]:
-                xr = xr[:, -x.shape[1]:]
+        def g_of_xr(xr):
             lf, _ = _apply_disc(disc, disc_vars, xr, True, cfg, compute_dtype)
             if cfg.gen_loss_cross_entropy:
                 return non_saturate_gen_loss(lf)
             return -jnp.mean(lf)
 
-        nll_grads = jax.grad(nll_of_k)(conv_out_params)["kernel"]
-        g_grads = jax.grad(g_of_k)(conv_out_params)["kernel"]
+        xr0 = jax.lax.stop_gradient(xrec)
+        g_nll = jax.grad(nll_of_xr)(xr0)
+        g_gan = jax.grad(g_of_xr)(xr0)
+        _, kvjp = jax.vjp(apply_k, last_layer_params)
+        nll_grads = kvjp(g_nll.astype(xr0.dtype))[0]["kernel"]
+        g_grads = kvjp(g_gan.astype(xr0.dtype))[0]["kernel"]
         d_weight = jnp.linalg.norm(
             nll_grads.astype(jnp.float32).reshape(-1)) / (
             jnp.linalg.norm(g_grads.astype(jnp.float32).reshape(-1)) + 1e-4)
