@@ -116,10 +116,19 @@ def main():
         trainer.set_lr(n_chips * data.batch_size * trainer.lr)
         print(f"[train] scaled lr to {trainer.lr}")
 
-    # example batch for init
+    # example batch for init. Params are shape-independent (convs) and
+    # init_state zeroes the content anyway, so init at a REDUCED spatial
+    # shape: the full 17x256x256 init graph costs an extra server-side
+    # compile through the axon relay (~10 min) for nothing. Keep the
+    # temporal length causal-valid (4k+1) and a 64p frame.
     first_batch = next(iter(train_loader.epoch(0)))
     x0 = first_batch["jpg"]
-    state = trainer.init_state(x0)
+    tdf = int(trainer.meta.get("time_downsample_factor", 4))
+    t_small = (1 + tdf) if trainer.meta.get("is_causal", True) else tdf
+    t_init = min(x0.shape[1], t_small)
+    h_init = min(x0.shape[2], 64)
+    w_init = min(x0.shape[3], 64)
+    state = trainer.init_state(x0[:, :t_init, :h_init, :w_init])
 
     start_step = 0
     if args.resume_from_checkpoint:
