@@ -260,6 +260,7 @@ def run_steps(spec="b1_256_r1_2d_bf16", t=REF_FRAMES, n=200, log_every=10):
     x = jnp.asarray(_smooth_batch(cell, t))
     t0 = time.perf_counter()
     first = last = None
+    log_marks = []  # (step, elapsed_s) — steady-state rate from the curve
     for i in range(n):
         rng2 = jax.random.fold_in(rng, i)
         state, logs = compiled(state, x, tr.lpips_params, rng2)
@@ -270,14 +271,24 @@ def run_steps(spec="b1_256_r1_2d_bf16", t=REF_FRAMES, n=200, log_every=10):
             if first is None:
                 first = rec
             last = rec
+            el = time.perf_counter() - t0
+            log_marks.append((i, el))
             print(f"step {i:4d}  rec_loss {rec:.4f}  total {tot:.1f}  "
-                  f"kl {kl:.1f}  ({(time.perf_counter()-t0):.0f}s)",
-                  flush=True)
+                  f"kl {kl:.1f}  ({el:.0f}s)", flush=True)
     wall = time.perf_counter() - t0
+    # steady-state ms/step from the last half of the curve: the relay's
+    # one-time first-exec (observed up to ~12 min) would otherwise skew
+    # a naive wall/n average (seen on train_fsq_steps r5)
+    steady = None
+    if len(log_marks) >= 3:
+        (s0, e0), (s1, e1) = log_marks[len(log_marks) // 2], log_marks[-1]
+        if s1 > s0:
+            steady = (e1 - e0) / (s1 - s0) * 1e3
     print(json.dumps({
         "steps_run": n, "cell": spec, "wall_s": round(wall, 1),
-        "ms_per_step_incl_logging": round(wall / n * 1e3, 1),
+        "steady_ms_per_step": round(steady, 1) if steady else None,
         "rec_loss_first": round(first, 4), "rec_loss_last": round(last, 4),
+        "rec_drop_pct": round(100 * (1 - last / first), 1),
         "descending": last < first * 0.9}), flush=True)
 
 
